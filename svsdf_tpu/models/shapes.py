@@ -1,0 +1,400 @@
+"""Analytic 2D signed-distance shape library (robot geometry layer).
+
+TPU-native re-design of the reference shape layer
+(`src/utils/include/utils/Shape.hpp:433-1572`): every robot shape is a
+*pure, branchless* JAX function ``body_sdf(p) -> sdf`` over arbitrarily
+batched 2D points, so it can be `vmap`-ed over (query point x time x
+scenario) grids and differentiated *exactly* with `jax.grad` — replacing
+the reference's 1e-6 central finite differences
+(`Shape.hpp:34-78`, macro DEFINE_USEFUL_FUNCTION).
+
+Shape parameter values mirror the reference subclasses bit-for-bit
+(including its idiosyncratic radian constants like cos(20.5), cos(43))
+so that planned trajectories are comparable. The config `poly_params`
+pre-transform (x, y, yaw-degrees; `Shape.hpp:284-301`) is applied inside
+`Shape2D.sdf`, matching `getonlySDF(pos_rel)` semantics: the planner
+hands in robot-frame points and the shape applies its own fixed
+pre-transform.
+
+All `jnp.where` branches are guarded so gradients stay finite at
+branch boundaries (no NaNs from sqrt(0) in unselected branches).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+PI = math.pi
+
+
+# ---------------------------------------------------------------------------
+# numerics helpers
+# ---------------------------------------------------------------------------
+
+def _safe_sqrt(x):
+    """sqrt with zero (not NaN) gradient at x == 0."""
+    safe = jnp.where(x > 0.0, x, 1.0)
+    return jnp.where(x > 0.0, jnp.sqrt(safe), 0.0)
+
+
+def _norm(v, axis=-1):
+    return _safe_sqrt(jnp.sum(v * v, axis=axis))
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _dot2(v):
+    return jnp.sum(v * v, axis=-1)
+
+
+def _sign_pm(x):
+    """copysign(1, x) as used by the reference (negative => -1 else +1)."""
+    return jnp.where(x < 0.0, -1.0, 1.0)
+
+
+def _clip(x, lo, hi):
+    return jnp.clip(x, lo, hi)
+
+
+def _vec(x, y):
+    return jnp.stack([x, y], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# body-frame SDFs (one function per reference shape class)
+# Each takes p of shape (..., 2) and returns (...).
+# ---------------------------------------------------------------------------
+
+def sd_circle(p, r=1.0):
+    """Shape.hpp:433 (Circle, radius 1)."""
+    return _norm(p) - r
+
+
+def sd_uneven_capsule(p, r1=2.0, r2=1.0, h=5.0):
+    """Shape.hpp:513 (sdUnevenCapsule)."""
+    px = jnp.abs(p[..., 0])
+    py = p[..., 1]
+    b = (r1 - r2) / h
+    a = math.sqrt(1.0 - b * b)
+    k = -b * px + a * py
+    d_low = _norm(_vec(px, py)) - r1
+    d_high = _norm(_vec(px, py - h)) - r2
+    d_mid = a * px + b * py - r1
+    return jnp.where(k < 0.0, d_low, jnp.where(k > a * h, d_high, d_mid))
+
+
+def sd_star5(p, r=2.8, rf=0.6):
+    """Shape.hpp:562 (star; 5-pointed)."""
+    k1x, k1y = 0.809016994375, -0.587785252292
+    k2x, k2y = -k1x, k1y
+    px = jnp.abs(p[..., 0])
+    py = p[..., 1]
+    d1 = 2.0 * jnp.maximum(k1x * px + k1y * py, 0.0)
+    px, py = px - d1 * k1x, py - d1 * k1y
+    d2 = 2.0 * jnp.maximum(k2x * px + k2y * py, 0.0)
+    px, py = px - d2 * k2x, py - d2 * k2y
+    px = jnp.abs(px)
+    py = py - r
+    bax, bay = rf * (-k1y), rf * k1x - 1.0
+    h = _clip((px * bax + py * bay) / (bax * bax + bay * bay), 0.0, r)
+    d = _norm(_vec(px - bax * h, py - bay * h))
+    return d * _sign_pm(py * bax - px * bay)
+
+
+def sd_tunnel(p, wx=2.5, wy=1.5):
+    """Shape.hpp:624 (sdTunnel, wh=(2.5,1.5))."""
+    px = jnp.abs(p[..., 0])
+    py = -p[..., 1]
+    qx = px - wx
+    qy = py - wy
+    d1 = jnp.maximum(qx, 0.0) ** 2 + qy * qy
+    qx2 = jnp.where(py > 0.0, qx, _norm(_vec(px, py)) - wx)
+    d2 = qx2 * qx2 + jnp.maximum(qy, 0.0) ** 2
+    d = _safe_sqrt(jnp.minimum(d1, d2))
+    return jnp.where(jnp.maximum(qx2, qy) < 0.0, -d, d)
+
+
+def sd_cut_disk(p, r=5.0, h=2.0):
+    """Shape.hpp:679 (sdCutDisk)."""
+    w = math.sqrt(r * r - h * h)
+    px = jnp.abs(p[..., 0])
+    py = p[..., 1]
+    s = jnp.maximum((h - r) * px * px + w * w * (h + r - 2.0 * py),
+                    h * px - w * py)
+    return jnp.where(
+        s < 0.0, _norm(p) - r,
+        jnp.where(px < w, h - py, _norm(_vec(px - w, py - h))))
+
+
+def sd_trapezoid(p, r1=1.0, r2=3.0, he=2.0):
+    """Shape.hpp:729 (sdTrapezoid)."""
+    k1 = jnp.array([r2, he])
+    k2 = jnp.array([r2 - r1, 2.0 * he])
+    px = jnp.abs(p[..., 0])
+    py = p[..., 1]
+    cax = jnp.maximum(0.0, px - jnp.where(py < 0.0, r1, r2))
+    cay = jnp.abs(py) - he
+    pv = _vec(px, py)
+    t = _clip(_dot(k1 - pv, k2) / _dot2(k2), 0.0, 1.0)
+    cb = pv - k1 + k2 * t[..., None]
+    s = jnp.where((cb[..., 0] < 0.0) & (cay < 0.0), -1.0, 1.0)
+    return s * _safe_sqrt(jnp.minimum(cax * cax + cay * cay, _dot2(cb)))
+
+
+def sd_rhombus(p, bx=1.0, by=4.5):
+    """Shape.hpp:786 (sdRhombus, b=(1.0,4.5))."""
+    px = jnp.abs(p[..., 0])
+    py = jnp.abs(p[..., 1])
+    # ndot(b - 2p, b) = (bx-2px)*bx - (by-2py)*by
+    h = _clip(((bx - 2.0 * px) * bx - (by - 2.0 * py) * by) /
+              (bx * bx + by * by), -1.0, 1.0)
+    d = _norm(_vec(px - 0.5 * bx * (1.0 - h), py - 0.5 * by * (1.0 + h)))
+    return d * jnp.where(px * by + py * bx - bx * by < 0.0, -1.0, 1.0)
+
+
+def sd_horseshoe(p, r=1.5, cx=math.cos(20.5), cy=math.sin(20.5),
+                 wx=1.55, wy=0.20):
+    """Shape.hpp:850 (sdHorseshoe; c uses radians-of-20.5 like the ref)."""
+    px = jnp.abs(p[..., 0])
+    py = p[..., 1]
+    l = _norm(_vec(px, py))
+    rx = -cx * px + cy * py
+    ry = cy * px + cx * py
+    sgn = math.copysign(1.0, -cx)
+    x1 = jnp.where((rx <= 0.0) & (ry <= 0.0), l * sgn, rx)
+    y1 = jnp.where(rx <= 0.0, l, ry)
+    x2 = x1 - wx
+    y2 = jnp.abs(y1 - r) - wy
+    return (_norm(_vec(jnp.maximum(x2, 0.0), jnp.maximum(y2, 0.0)))
+            + jnp.minimum(0.0, jnp.maximum(x2, y2)))
+
+
+def sd_heart(p, scale=4.0):
+    """Shape.hpp:919 (sdHeart, uniformly scaled x4)."""
+    px = jnp.abs(p[..., 0]) / scale
+    py = p[..., 1] / scale
+    top = _norm(_vec(px - 0.25, py - 0.75)) - math.sqrt(2.0) / 4.0
+    v1 = _dot2(_vec(px, py - 1.0))
+    m = jnp.maximum(px + py, 0.0)
+    v2 = _dot2(_vec(px - 0.5 * m, py - 0.5 * m))
+    bottom = _safe_sqrt(jnp.minimum(v1, v2)) * _sign_pm(px - py)
+    return scale * jnp.where(px + py > 1.0, top, bottom)
+
+
+def sd_rounded_x(p, w=3.0, r=0.25):
+    """Shape.hpp:971 (sdRoundedX)."""
+    ax = jnp.abs(p[..., 0])
+    ay = jnp.abs(p[..., 1])
+    m = jnp.where(ax + ay > w, 0.5 * w, 0.5 * (ax + ay))
+    return _norm(_vec(ax - m, ay - m)) - r
+
+
+def sd_big_x(p, w=5.0, r=0.25):
+    """Shape.hpp:1007 (bigX)."""
+    return sd_rounded_x(p, w=w, r=r)
+
+
+def sd_rounded_cross(p, h=1.0, scale=2.0):
+    """Shape.hpp:1043 (sdRoundedCross, scaled x2)."""
+    k = 0.5 * (h + 1.0 / h)
+    ax = jnp.abs(p[..., 0]) / scale
+    ay = jnp.abs(p[..., 1]) / scale
+    inner = k - _norm(_vec(ax - 1.0, ay - k))
+    outer = _safe_sqrt(jnp.minimum(_dot2(_vec(ax, ay - h)),
+                                   _dot2(_vec(ax - 1.0, ay))))
+    cond = (ax < 1.0) & (ay < ax * (k - h) + h)
+    return scale * jnp.where(cond, inner, outer)
+
+
+def sd_oriented_vesica(p, ax=2.0, ay=4.0, bx=-2.0, by=-4.0, w=0.8):
+    """Shape.hpp:1094 (sdOrientedVesica, a=(2,4), b=(-2,-4), w=0.8)."""
+    r = 0.5 * math.hypot(bx - ax, by - ay)
+    d = 0.5 * (r * r - w * w) / w
+    vx, vy = (bx - ax) / r, (by - ay) / r
+    cx, cy = 0.5 * (bx + ax), 0.5 * (by + ay)
+    px = p[..., 0] - cx
+    py = p[..., 1] - cy
+    qx = 0.5 * jnp.abs(vy * px + vx * py)
+    qy = 0.5 * jnp.abs(-vx * px + vy * py)
+    cond = r * qx < d * (qy - r)
+    hx = jnp.where(cond, 0.0, -d)
+    hy = jnp.where(cond, r, 0.0)
+    hz = jnp.where(cond, 0.0, d + w)
+    return _norm(_vec(qx - hx, qy - hy)) - hz
+
+
+def sd_moon(p, d=0.8, ra=3.0, rb=2.4):
+    """Shape.hpp:1184 (sdMoon)."""
+    qx = p[..., 0]
+    qy = jnp.abs(p[..., 1])
+    a = (ra * ra - rb * rb + d * d) / (2.0 * d)
+    b = math.sqrt(max(ra * ra - a * a, 0.0))
+    cond = d * (qx * b - qy * a) > d * d * jnp.maximum(b - qy, 0.0)
+    d1 = _norm(_vec(qx - a, qy - b))
+    d2 = jnp.maximum(_norm(_vec(qx, qy)) - ra,
+                     -(_norm(_vec(qx - d, qy)) - rb))
+    return jnp.where(cond, d1, d2)
+
+
+def sd_pie(p, cx=math.cos(43.0), cy=math.sin(43.0), r=3.0):
+    """Shape.hpp:1232 (sdPie; c uses radians-of-43 like the ref)."""
+    px = jnp.abs(p[..., 0])
+    py = p[..., 1]
+    l = _norm(_vec(px, py)) - r
+    t = _clip(px * cx + py * cy, 0.0, r)
+    m = _norm(_vec(px - cx * t, py - cy * t))
+    return jnp.maximum(l, m * _sign_pm(cy * px - cx * py))
+
+
+def sd_pie2(p, r=3.0):
+    """Shape.hpp:1273 (sdPie2; c = (cos 1, sin 1))."""
+    return sd_pie(p, cx=math.cos(1.0), cy=math.sin(1.0), r=r)
+
+
+def sd_arc(p, scx=math.sin(20.0), scy=math.cos(20.0), ra=2.3333, rb=0.5):
+    """Shape.hpp:1315 (sdArc; sc uses radians-of-20 like the ref)."""
+    px = jnp.abs(p[..., 0])
+    py = p[..., 1]
+    cond = scy * px > scx * py
+    d1 = _norm(_vec(px - scx * ra, py - scy * ra))
+    d2 = jnp.abs(_norm(_vec(px, py)) - ra)
+    return jnp.where(cond, d1, d2) - rb
+
+
+def sd_polygon(p, verts):
+    """Generic simple-polygon SDF (Shape.hpp:1361-1572 Polygon class).
+
+    `verts` is an (E, 2) array of CCW or CW vertices. Exact distance via
+    per-edge point-segment distance; sign via the even-odd crossing rule
+    (equivalent to the reference's ray-casting isCrossRayOnXDir).
+    """
+    verts = jnp.asarray(verts)
+    vi = verts                      # (E, 2)
+    vj = jnp.roll(verts, 1, axis=0)  # previous vertex
+    pe = p[..., None, :]            # (..., 1, 2)
+    e = vj - vi                     # (E, 2)
+    w = pe - vi                     # (..., E, 2)
+    t = _clip(_dot(w, e) / jnp.maximum(_dot2(e), 1e-30), 0.0, 1.0)
+    b = w - e * t[..., None]
+    d2 = jnp.min(_dot2(b), axis=-1)
+    # winding parity
+    c1 = pe[..., 1] >= vi[..., 1]
+    c2 = pe[..., 1] < vj[..., 1]
+    c3 = e[..., 0] * w[..., 1] > e[..., 1] * w[..., 0]
+    flip = (c1 & c2 & c3) | (~c1 & ~c2 & ~c3)
+    s = 1.0 - 2.0 * (jnp.sum(flip, axis=-1) % 2)
+    return s * _safe_sqrt(d2)
+
+
+# ---------------------------------------------------------------------------
+# Shape container with config pre-transform
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Shape2D:
+    """A robot shape: body SDF + the config poly_params pre-transform.
+
+    Mirrors BasicShape's transform semantics (`Shape.hpp:284-301`):
+    `sdf(p)` evaluates the shape at robot-frame point p after applying
+    the fixed pre-transform q = R0^T (p - t0).
+    """
+
+    name: str
+    body_sdf: Callable = dataclasses.field(repr=False)
+    tx: float = 0.0
+    ty: float = 0.0
+    yaw0: float = 0.0  # radians
+
+    def _pre(self, p):
+        px = p[..., 0] - self.tx
+        py = p[..., 1] - self.ty
+        if self.yaw0 == 0.0:
+            return _vec(px, py)
+        c, s = math.cos(self.yaw0), math.sin(self.yaw0)
+        # row-vector times Rotate == R^T p  (Shape.hpp:478 et al.)
+        return _vec(c * px + s * py, -s * px + c * py)
+
+    def sdf(self, p):
+        """SDF at robot-frame points p (..., 2) -> (...)."""
+        return self.body_sdf(self._pre(p))
+
+    def sdf_grad(self, p):
+        """(sdf, dsdf/dp) at robot-frame points, exact via jax.grad."""
+        flat = p.reshape(-1, 2)
+        val, grad = jax.vmap(jax.value_and_grad(lambda q: self.sdf(q)))(flat)
+        return val.reshape(p.shape[:-1]), grad.reshape(p.shape)
+
+    def sdf_with_rot(self, p, yaw):
+        """SDF with an extra object rotation, matching the kernel path
+        getonlySDF(pos_rel, R_obj) (`Shape.hpp:481`): R_obj^T applied
+        *after* the pre-transform."""
+        q = self._pre(p)
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        qr = _vec(c * q[..., 0] + s * q[..., 1],
+                  -s * q[..., 0] + c * q[..., 1])
+        return self.body_sdf(qr)
+
+
+_REGISTRY: dict = {
+    "Circle": sd_circle,
+    "sdUnevenCapsule": sd_uneven_capsule,
+    "star": sd_star5,
+    "sdTunnel": sd_tunnel,
+    "sdCutDisk": sd_cut_disk,
+    "sdTrapezoid": sd_trapezoid,
+    "sdRhombus": sd_rhombus,
+    "sdHorseshoe": sd_horseshoe,
+    "sdHeart": sd_heart,
+    "sdRoundedX": sd_rounded_x,
+    "bigX": sd_big_x,
+    "sdRoundedCross": sd_rounded_cross,
+    "sdOrientedVesica": sd_oriented_vesica,
+    "sdMoon": sd_moon,
+    "sdPie": sd_pie,
+    "sdPie2": sd_pie2,
+    "sdArc": sd_arc,
+}
+
+#: default fallback rectangle, mirroring sw_manager.hpp:365-371
+_FALLBACK_RECT = [(6.0, -0.1), (6.0, 0.1), (-6.0, 0.1), (-6.0, -0.1)]
+
+
+def shape_names() -> Sequence[str]:
+    return tuple(_REGISTRY.keys())
+
+
+def make_shape(name: str,
+               poly_params: Sequence[float] = (0.0, 0.0, 0.0),
+               vertices: Optional[Sequence] = None) -> Shape2D:
+    """Build a Shape2D by reference shape name.
+
+    Mirrors the SweptVolumeManager factory (`sw_manager.hpp:187-235,
+    350-373`): unknown names fall back to a thin-rectangle Polygon.
+    `poly_params` is (x, y, yaw_degrees) as in config.hpp.
+    """
+    tx, ty, yaw_deg = (list(poly_params) + [0.0, 0.0, 0.0])[:3]
+    if name == "Polygon" or name not in _REGISTRY:
+        vv = jnp.asarray(vertices if vertices is not None else _FALLBACK_RECT,
+                         dtype=jnp.float32)
+        body = lambda p: sd_polygon(p, vv)
+        return Shape2D(name="Polygon", body_sdf=body, tx=tx, ty=ty,
+                       yaw0=yaw_deg * PI / 180.0)
+    return Shape2D(name=name, body_sdf=_REGISTRY[name], tx=tx, ty=ty,
+                   yaw0=yaw_deg * PI / 180.0)
+
+
+def shape_from_objpath(objpath: str,
+                       poly_params: Sequence[float] = (0.0, 0.0, 0.0)
+                       ) -> Shape2D:
+    """Select the analytic shape from the config `inputdata` obj path,
+    mirroring initShapeByString (`sw_manager.hpp:350-373`)."""
+    stem = objpath.rsplit("/", 1)[-1]
+    stem = stem[:-4] if stem.endswith(".obj") else stem
+    return make_shape(stem, poly_params=poly_params)

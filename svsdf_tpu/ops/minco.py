@@ -1,0 +1,148 @@
+"""MINCO S3 (minimum-jerk) spline parameterization, batched + differentiable.
+
+TPU-native re-design of minco::MINCO_S3NU
+(`src/utils/include/utils/minco.hpp:397-656`): quintic pieces with
+non-uniform times; given head/tail states (pos, vel, acc), intermediate
+waypoints, and piece durations, solve the C^4-continuity linear system
+for the polynomial coefficients.
+
+Design differences vs the reference (intentional, idiomatic):
+  * The reference factorizes a banded 6Nx6N system with a custom
+    banded-LU (minco.hpp:43-198) and hand-derives the adjoint solve
+    (propogateGrad, minco.hpp:586-656). Here the same system is built
+    as a dense (6N, 6N) matrix via one vectorized scatter and solved
+    with `jnp.linalg.solve`; gradients w.r.t. waypoints AND times come
+    for free (and exactly) from JAX autodiff through the solve — no
+    hand-written adjoint. For planner-scale N (<= ~64 pieces) the dense
+    batched solve is negligible next to the SVSDF queries and maps
+    cleanly onto the MXU when vmapped over scenarios.
+  * Coefficients are returned ascending-power, matching
+    utils/trajectory.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from svsdf_tpu.utils.trajectory import Trajectory
+
+
+@functools.lru_cache(maxsize=None)
+def _index_plan(n: int):
+    """Static (rows, cols, kind, coef) scatter plan for N pieces.
+
+    kind k in 0..5 selects the T-power factor: value = coef * T_i^k
+    (k=0 means constant). `piece` maps each entry to its piece index.
+    Mirrors the matrix stencil of minco.hpp:433-509.
+    """
+    rows, cols, piece, power, coef = [], [], [], [], []
+
+    def add(r, c, i, k, a):
+        rows.append(r); cols.append(c); piece.append(i)
+        power.append(k); coef.append(a)
+
+    # head conditions (pos/vel/acc of piece 0 at s=0)
+    add(0, 0, 0, 0, 1.0)
+    add(1, 1, 0, 0, 1.0)
+    add(2, 2, 0, 0, 2.0)
+
+    for i in range(n - 1):
+        r = 6 * i + 3
+        add(r, 6 * i + 3, i, 0, 6.0)
+        add(r, 6 * i + 4, i, 1, 24.0)
+        add(r, 6 * i + 5, i, 2, 60.0)
+        add(r, 6 * i + 9, i, 0, -6.0)
+        r = 6 * i + 4
+        add(r, 6 * i + 4, i, 0, 24.0)
+        add(r, 6 * i + 5, i, 1, 120.0)
+        add(r, 6 * i + 10, i, 0, -24.0)
+        r = 6 * i + 5
+        for k in range(6):
+            add(r, 6 * i + k, i, k, 1.0)
+        r = 6 * i + 6
+        for k in range(6):
+            add(r, 6 * i + k, i, k, 1.0)
+        add(r, 6 * i + 6, i, 0, -1.0)
+        r = 6 * i + 7
+        for k in range(1, 6):
+            add(r, 6 * i + k, i, k - 1, float(k))
+        add(r, 6 * i + 7, i, 0, -1.0)
+        r = 6 * i + 8
+        for k in range(2, 6):
+            add(r, 6 * i + k, i, k - 2, float(k * (k - 1)))
+        add(r, 6 * i + 8, i, 0, -2.0)
+
+    # tail conditions (pos/vel/acc of piece N-1 at s=T)
+    i = n - 1
+    r = 6 * n - 3
+    for k in range(6):
+        add(r, 6 * i + k, i, k, 1.0)
+    r = 6 * n - 2
+    for k in range(1, 6):
+        add(r, 6 * i + k, i, k - 1, float(k))
+    r = 6 * n - 1
+    for k in range(2, 6):
+        add(r, 6 * i + k, i, k - 2, float(k * (k - 1)))
+
+    return (np.asarray(rows), np.asarray(cols), np.asarray(piece),
+            np.asarray(power), np.asarray(coef, dtype=np.float64))
+
+
+def build_system(times, head, tail, waypoints):
+    """Assemble (M, rhs) of the C^4 continuity system.
+
+    times:     (N,)      piece durations
+    head:      (3, D)    [pos; vel; acc] rows at t=0
+    tail:      (3, D)    [pos; vel; acc] rows at t=T_total
+    waypoints: (N-1, D)  intermediate junction positions
+    Returns M (6N, 6N), rhs (6N, D).
+    """
+    n = times.shape[0]
+    d = head.shape[-1]
+    dtype = times.dtype
+    rows, cols, piece, power, coef = _index_plan(n)
+
+    tp = jnp.stack([times ** k for k in range(6)], axis=0)  # (6, N)
+    vals = jnp.asarray(coef, dtype=dtype) * tp[power, piece]
+
+    m = jnp.zeros((6 * n, 6 * n), dtype=dtype)
+    m = m.at[rows, cols].add(vals)
+
+    rhs = jnp.zeros((6 * n, d), dtype=dtype)
+    rhs = rhs.at[0:3, :].set(head)
+    if n > 1:
+        rhs = rhs.at[6 * np.arange(n - 1) + 5, :].set(waypoints)
+    rhs = rhs.at[6 * n - 3:, :].set(tail)
+    return m, rhs
+
+
+def solve(times, head, tail, waypoints) -> Trajectory:
+    """Waypoints + times -> quintic Trajectory (setParameters +
+    getTrajectory, minco.hpp:433-530). Fully differentiable."""
+    n = times.shape[0]
+    m, rhs = build_system(times, head, tail, waypoints)
+    c = jnp.linalg.solve(m, rhs)
+    return Trajectory(coeffs=c.reshape(n, 6, -1), durations=times)
+
+
+def energy(traj: Trajectory):
+    """Integral of squared jerk (getEnergy, minco.hpp:536-550)."""
+    c3 = traj.coeffs[:, 3, :]
+    c4 = traj.coeffs[:, 4, :]
+    c5 = traj.coeffs[:, 5, :]
+    t1 = traj.durations
+    t2 = t1 * t1
+    t3 = t2 * t1
+    t4 = t2 * t2
+    t5 = t4 * t1
+    per_piece = (36.0 * jnp.sum(c3 * c3, -1) * t1 +
+                 144.0 * jnp.sum(c4 * c3, -1) * t2 +
+                 192.0 * jnp.sum(c4 * c4, -1) * t3 +
+                 240.0 * jnp.sum(c5 * c3, -1) * t3 +
+                 720.0 * jnp.sum(c5 * c4, -1) * t4 +
+                 720.0 * jnp.sum(c5 * c5, -1) * t5)
+    return jnp.sum(per_piece)

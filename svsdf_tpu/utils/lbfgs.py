@@ -1,0 +1,206 @@
+"""Nonsmooth-capable L-BFGS with weak-Wolfe (Lewis–Overton) line search.
+
+JAX-native replacement for both of the reference's solvers:
+  * `lbfgs::lbfgs_optimize` (src/utils/include/utils/lbfgs.hpp:290-479),
+    the mid-end's smooth(ish) solver with Lewis–Overton line search, and
+  * the Fortran LMBM bundle method (src/utils/include/utils/lmbm.h:214,
+    lmbm_*.f) used by the SVSDF back end for its genuinely nonsmooth
+    cost. L-BFGS with a weak-Wolfe bisection line search and cautious
+    (Li–Fukushima) updates is the standard JAX-able alternative for
+    such costs — the reference itself uses exactly this for the
+    nonsmooth mid-end objective.
+
+Fully jittable: fixed memory, `lax.while_loop` outer iteration and a
+fixed-bound bisection line search; `vmap`-able for scenario batches
+(every lane runs the same instruction stream, convergence handled by a
+`done` mask inside the carry).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LBFGSParams:
+    mem_size: int = 16          # conf.mem_size (sdHeart.yaml:69)
+    max_iterations: int = 300
+    g_epsilon: float = 1e-6     # ||g||_inf termination
+    past: int = 3               # delta-based convergence window
+    delta: float = 1e-9         # relative cost-decrease tolerance
+    max_linesearch: int = 40
+    f_dec_coeff: float = 1e-4   # Armijo c1
+    s_curv_coeff: float = 0.9   # weak-Wolfe c2
+    cautious_factor: float = 1e-6
+    init_step: float = 1.0
+
+
+class LBFGSResult(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    n_iters: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _weak_wolfe_search(fun, x, f0, g0, d, p: LBFGSParams):
+    """Lewis–Overton bisection line search (lbfgs.hpp:290-405).
+
+    Returns (t, x_new, f_new, g_new, ok)."""
+    dg0 = jnp.vdot(g0, d)
+
+    def body(carry):
+        k, t, lo, hi, _, _, _, _ = carry
+        xt = x + t * d
+        ft, gt = fun(xt)
+        armijo = ft <= f0 + p.f_dec_coeff * t * dg0
+        curv = jnp.vdot(gt, d) >= p.s_curv_coeff * dg0
+        ok = armijo & curv
+        new_hi = jnp.where(armijo, hi, t)
+        new_lo = jnp.where(armijo & ~curv, t, lo)
+        new_t = jnp.where(
+            ok, t,
+            jnp.where(jnp.isinf(new_hi), 2.0 * new_t_base(new_lo, t),
+                      0.5 * (new_lo + new_hi)))
+        return k + 1, new_t, new_lo, new_hi, xt, ft, gt, ok
+
+    def new_t_base(lo, t):
+        return jnp.maximum(lo, t)
+
+    def cond(carry):
+        k, t, lo, hi, xt, ft, gt, ok = carry
+        return (k < p.max_linesearch) & (~ok)
+
+    init = (jnp.asarray(0), jnp.asarray(p.init_step, x.dtype),
+            jnp.asarray(0.0, x.dtype), jnp.asarray(jnp.inf, x.dtype),
+            x, f0, g0, jnp.asarray(False))
+    k, t, lo, hi, xt, ft, gt, ok = jax.lax.while_loop(cond, body, init)
+    # Even if Wolfe wasn't satisfied, accept the point if it decreased f
+    # (bundle-method style tolerance for nonsmooth kinks).
+    accept = ok | (ft < f0)
+    xt = jnp.where(accept, xt, x)
+    ft = jnp.where(accept, ft, f0)
+    gt = jnp.where(accept, gt, g0)
+    return t, xt, ft, gt, accept
+
+
+def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
+             ) -> LBFGSResult:
+    """Minimize fun: x -> (f, g). Jittable; vmap for batches."""
+    p = params
+    n = x0.shape[-1]
+    m = p.mem_size
+    dtype = x0.dtype
+
+    f0, g0 = fun(x0)
+
+    class Carry(NamedTuple):
+        x: jnp.ndarray
+        f: jnp.ndarray
+        g: jnp.ndarray
+        s_hist: jnp.ndarray   # (m, n)
+        y_hist: jnp.ndarray   # (m, n)
+        rho: jnp.ndarray      # (m,)
+        n_corr: jnp.ndarray   # number of valid corrections
+        head: jnp.ndarray     # ring-buffer write position
+        past_f: jnp.ndarray   # (past,) cost history
+        it: jnp.ndarray
+        done: jnp.ndarray
+        converged: jnp.ndarray
+
+    def two_loop(g, s_hist, y_hist, rho, n_corr, head):
+        """Standard two-loop recursion over the ring buffer."""
+        idxs = (head - 1 - jnp.arange(m)) % m       # newest -> oldest
+        valid = jnp.arange(m) < n_corr
+
+        def bwd(q, i):
+            valid_i = valid[i]
+            s, y, r = s_hist[idxs[i]], y_hist[idxs[i]], rho[idxs[i]]
+            a = r * jnp.vdot(s, q)
+            a = jnp.where(valid_i, a, 0.0)
+            return q - a * y * valid_i, a
+
+        q, alphas = jax.lax.scan(bwd, g, jnp.arange(m))
+        # initial Hessian scaling gamma = s.y / y.y of newest pair
+        newest = idxs[0]
+        sy = jnp.vdot(s_hist[newest], y_hist[newest])
+        yy = jnp.vdot(y_hist[newest], y_hist[newest])
+        gamma = jnp.where((n_corr > 0) & (yy > 0), sy / jnp.maximum(yy, 1e-30),
+                          1.0)
+        r_ = q * gamma
+
+        def fwd(r_, i):
+            ii = m - 1 - i                            # oldest -> newest
+            valid_i = valid[ii]
+            s, y, rh = s_hist[idxs[ii]], y_hist[idxs[ii]], rho[idxs[ii]]
+            b = rh * jnp.vdot(y, r_)
+            b = jnp.where(valid_i, b, 0.0)
+            return r_ + (alphas[ii] - b) * s * valid_i, None
+
+        r_, _ = jax.lax.scan(fwd, r_, jnp.arange(m))
+        return r_
+
+    def step(c: Carry) -> Carry:
+        d = -two_loop(c.g, c.s_hist, c.y_hist, c.rho, c.n_corr, c.head)
+        # safeguard: ensure descent direction; else steepest descent
+        dg = jnp.vdot(d, c.g)
+        d = jnp.where(dg < 0, d, -c.g)
+
+        t, x_new, f_new, g_new, ok = _weak_wolfe_search(
+            fun, c.x, c.f, c.g, d, p)
+
+        s = x_new - c.x
+        y = g_new - c.g
+        sy = jnp.vdot(s, y)
+        # cautious update (Li–Fukushima; lbfgs.hpp cautious flag)
+        gnorm = jnp.linalg.norm(c.g)
+        do_update = ok & (sy > p.cautious_factor * jnp.vdot(s, s) * gnorm)
+        head = c.head
+        s_hist = jnp.where(do_update, c.s_hist.at[head].set(s), c.s_hist)
+        y_hist = jnp.where(do_update, c.y_hist.at[head].set(y), c.y_hist)
+        rho = jnp.where(do_update,
+                        c.rho.at[head].set(1.0 / jnp.maximum(sy, 1e-30)),
+                        c.rho)
+        head = jnp.where(do_update, (head + 1) % m, head)
+        n_corr = jnp.where(do_update, jnp.minimum(c.n_corr + 1, m), c.n_corr)
+
+        # convergence tests
+        g_inf = jnp.max(jnp.abs(g_new)) / jnp.maximum(
+            1.0, jnp.linalg.norm(x_new))
+        small_grad = g_inf < p.g_epsilon
+        fpast = c.past_f[c.it % p.past]
+        rel_dec = (fpast - f_new) / jnp.maximum(jnp.abs(f_new), 1e-30)
+        stalled = (c.it >= p.past) & (rel_dec < p.delta)
+        no_progress = ~ok
+        converged = small_grad | stalled
+        done = converged | no_progress
+
+        past_f = c.past_f.at[c.it % p.past].set(f_new)
+        return Carry(x_new, f_new, g_new, s_hist, y_hist, rho, n_corr,
+                     head, past_f, c.it + 1, done, converged)
+
+    init = Carry(
+        x=x0, f=f0, g=g0,
+        s_hist=jnp.zeros((m, n), dtype), y_hist=jnp.zeros((m, n), dtype),
+        rho=jnp.zeros((m,), dtype), n_corr=jnp.asarray(0),
+        head=jnp.asarray(0),
+        past_f=jnp.full((p.past,), jnp.inf, dtype).at[0].set(f0),
+        it=jnp.asarray(0), done=jnp.max(jnp.abs(g0)) < p.g_epsilon,
+        converged=jnp.max(jnp.abs(g0)) < p.g_epsilon)
+
+    def cond(c: Carry):
+        return (~c.done) & (c.it < p.max_iterations)
+
+    out = jax.lax.while_loop(cond, step, init)
+    return LBFGSResult(out.x, out.f, out.g, out.it, out.converged)
+
+
+def minimize_batched(fun, x0_batch, params: LBFGSParams = LBFGSParams()):
+    """Lockstep batched minimize: fun maps (B, n) -> ((B,), (B, n)) is
+    NOT required — fun is per-sample (n,)->(f,g); we vmap the whole
+    solver so every scenario converges independently (masked)."""
+    return jax.vmap(lambda x0: minimize(fun, x0, params))(x0_batch)

@@ -1,0 +1,145 @@
+"""Piecewise-polynomial trajectory evaluation (batched, static-shape).
+
+TPU-native re-design of Trajectory<5>/Piece<5>
+(`src/utils/include/utils/trajectory.hpp:37-626`). A trajectory is a
+pytree of
+
+  coeffs:    (N, 6, D)  ascending-power coefficients per piece
+             (pos(s) = sum_k coeffs[i, k] * s**k, s local time)
+  durations: (N,)       per-piece durations
+
+All evaluation is pure jnp: piece location is a `searchsorted` over the
+cumulative durations (replacing the in-place locatePieceIdx,
+trajectory.hpp:498), local-time powers are a fixed (6,) basis, so every
+function `vmap`s over query-time batches and scenario batches.
+
+`eval_at` keeps the *global* time differentiable w.r.t. durations: the
+local time is s = t - cumsum(T)[i-1] with the piece index i taken
+through stop_gradient, so d s/d T_j = -1 for j < i. Combined with
+jax.grad this reproduces the reference's hand-assembled time-gradient
+propagation (back_end_optimizer.hpp:855-863) automatically.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Trajectory(NamedTuple):
+    coeffs: jnp.ndarray     # (N, 6, D)
+    durations: jnp.ndarray  # (N,)
+
+    @property
+    def num_pieces(self):
+        return self.coeffs.shape[0]
+
+    @property
+    def dim(self):
+        return self.coeffs.shape[-1]
+
+    @property
+    def total_duration(self):
+        return jnp.sum(self.durations)
+
+
+def _basis(s, order: int):
+    """Time-power basis row beta_order(s): (..., 6).
+
+    order 0..4 = pos, vel, acc, jerk, snap (mid_end.hpp:509-517).
+    """
+    z = jnp.zeros_like(s)
+    o = jnp.ones_like(s)
+    s2 = s * s
+    s3 = s2 * s
+    s4 = s2 * s2
+    s5 = s4 * s
+    if order == 0:
+        rows = [o, s, s2, s3, s4, s5]
+    elif order == 1:
+        rows = [z, o, 2 * s, 3 * s2, 4 * s3, 5 * s4]
+    elif order == 2:
+        rows = [z, z, 2 * o, 6 * s, 12 * s2, 20 * s3]
+    elif order == 3:
+        rows = [z, z, z, 6 * o, 24 * s, 60 * s2]
+    elif order == 4:
+        rows = [z, z, z, z, 24 * o, 120 * s]
+    else:
+        raise ValueError(order)
+    return jnp.stack(rows, axis=-1)
+
+
+def locate_piece(durations, t):
+    """(piece index, local time) for global times t (broadcasts).
+
+    Out-of-range times clamp to the first/last piece like the reference
+    (trajectory.hpp:498-520). The returned local time is differentiable
+    w.r.t. durations at fixed t (index goes through stop_gradient).
+    """
+    cum = jnp.cumsum(durations)
+    n = durations.shape[0]
+    idx = jnp.clip(jnp.searchsorted(jax.lax.stop_gradient(cum), t,
+                                    side="right"), 0, n - 1)
+    start = jnp.where(idx > 0, jnp.take(jnp.concatenate(
+        [jnp.zeros_like(cum[:1]), cum]), idx), 0.0)
+    s = t - start
+    # clamp local time into [0, T_i] without killing dT gradients off-range
+    Ti = jnp.take(durations, idx)
+    s = jnp.clip(s, 0.0, jax.lax.stop_gradient(Ti))
+    return idx, s
+
+
+def eval_at(traj: Trajectory, t, order: int = 0):
+    """Evaluate the `order`-th derivative at global times t.
+
+    t: scalar or (...,) array -> returns (..., D).
+    """
+    idx, s = locate_piece(traj.durations, t)
+    c = jnp.take(traj.coeffs, idx, axis=0)          # (..., 6, D)
+    beta = _basis(s, order)                          # (..., 6)
+    return jnp.einsum("...k,...kd->...d", beta, c)
+
+
+def pos(traj, t):
+    return eval_at(traj, t, 0)
+
+
+def vel(traj, t):
+    return eval_at(traj, t, 1)
+
+
+def acc(traj, t):
+    return eval_at(traj, t, 2)
+
+
+def jerk(traj, t):
+    return eval_at(traj, t, 3)
+
+
+def snap(traj, t):
+    return eval_at(traj, t, 4)
+
+
+def state_se2(traj: Trajectory, t):
+    """(x, y, yaw) pose + planar rotation at time t for a 2.5D
+    trajectory whose 3rd channel is yaw (plan_manager.cpp:109-111).
+
+    Returns (xy (...,2), yaw (...), R (...,2,2)).
+    """
+    p = eval_at(traj, t, 0)
+    xy = p[..., :2]
+    yaw = p[..., 2]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    R = jnp.stack([jnp.stack([c, -s], axis=-1),
+                   jnp.stack([s, c], axis=-1)], axis=-2)
+    return xy, yaw, R
+
+
+def world_to_body(xy, R, p_world):
+    """p_rel = R^T (p - x) for planar pose (posEva2Rel, sw_manager.hpp:521)."""
+    d = p_world - xy
+    return jnp.stack([R[..., 0, 0] * d[..., 0] + R[..., 1, 0] * d[..., 1],
+                      R[..., 0, 1] * d[..., 0] + R[..., 1, 1] * d[..., 1]],
+                     axis=-1)

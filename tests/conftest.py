@@ -1,0 +1,27 @@
+"""Test harness: CPU backend with an 8-device virtual mesh + float64.
+
+Tests validate numerics against float64 oracles on CPU; the TPU path
+runs float32 (bench.py / __graft_entry__.py). The 8 virtual devices let
+multi-chip sharding tests run without TPU hardware.
+"""
+
+import os
+import sys
+
+# The session presets JAX_PLATFORMS=axon (remote TPU); tests must run on
+# the local CPU backend, so force-override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" via
+# jax.config at interpreter start, which overrides the env var; set the
+# config value itself to pin the local CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,85 @@
+"""L-BFGS (weak-Wolfe / nonsmooth) solver tests: smooth classics,
+nonsmooth L1-type objectives (the SVSDF cost class), and batching."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from svsdf_tpu.utils import lbfgs
+
+
+def _fun(f):
+    return jax.value_and_grad(f)
+
+
+def test_quadratic():
+    A = jnp.array([[3.0, 1.0], [1.0, 2.0]])
+    b = jnp.array([1.0, -2.0])
+
+    def f(x):
+        return 0.5 * x @ A @ x - b @ x
+
+    res = lbfgs.minimize(_fun(f), jnp.zeros(2),
+                         lbfgs.LBFGSParams(max_iterations=100))
+    x_star = jnp.linalg.solve(A, b)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_star),
+                               atol=1e-6)
+
+
+def test_rosenbrock():
+    def f(x):
+        return (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    res = lbfgs.minimize(_fun(f), jnp.array([-1.2, 1.0]),
+                         lbfgs.LBFGSParams(max_iterations=300,
+                                           g_epsilon=1e-10, delta=0.0))
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-5)
+
+
+def test_nonsmooth_l1():
+    """min |x-3| + |y+1| + 0.01*(x^2+y^2): kink at the optimum —
+    exactly the failure mode LMBM exists for."""
+    def f(x):
+        return (jnp.abs(x[0] - 3.0) + jnp.abs(x[1] + 1.0)
+                + 0.01 * jnp.sum(x * x))
+
+    res = lbfgs.minimize(_fun(f), jnp.array([10.0, 10.0]),
+                         lbfgs.LBFGSParams(max_iterations=500,
+                                           g_epsilon=0.0, delta=1e-14))
+    np.testing.assert_allclose(np.asarray(res.x), [3.0, -1.0], atol=5e-2)
+
+
+def test_smoothed_hinge_sum():
+    """Sum of smoothed-L1 hinges (the actual SVSDF penalty smoother)."""
+    from svsdf_tpu.utils.transforms import smoothed_l1
+
+    targets = jnp.linspace(-2.0, 2.0, 8)
+
+    def f(x):
+        return jnp.sum(smoothed_l1(targets - x[0], 1e-2)) + 0.05 * x[0] ** 2
+
+    res = lbfgs.minimize(_fun(f), jnp.array([-5.0]),
+                         lbfgs.LBFGSParams(max_iterations=200))
+    # optimum balances hinge slope (count above x) against 0.1 x
+    assert 1.0 < float(res.x[0]) < 2.2
+
+
+def test_batched():
+    def f(x):
+        return jnp.sum((x - jnp.array([2.0, -1.0])) ** 2)
+
+    x0 = jnp.stack([jnp.zeros(2), jnp.ones(2) * 5, -jnp.ones(2) * 3])
+    res = lbfgs.minimize_batched(_fun(f), x0,
+                                 lbfgs.LBFGSParams(max_iterations=100))
+    for b in range(3):
+        np.testing.assert_allclose(np.asarray(res.x[b]), [2.0, -1.0],
+                                   atol=1e-5)
+
+
+def test_jittable():
+    def f(x):
+        return jnp.sum(x ** 2)
+
+    run = jax.jit(lambda x0: lbfgs.minimize(_fun(f), x0).x)
+    np.testing.assert_allclose(np.asarray(run(jnp.ones(4))),
+                               np.zeros(4), atol=1e-6)

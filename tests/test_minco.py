@@ -1,0 +1,121 @@
+"""MINCO S3NU spline solve tests: boundary conditions, C^4 continuity,
+waypoint interpolation, energy vs numerical quadrature, and gradient
+sanity (autodiff through the solve replaces propogateGrad)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from svsdf_tpu.ops import minco
+from svsdf_tpu.utils import trajectory as trj
+
+
+def _problem(n=5, d=3, seed=0):
+    rng = np.random.default_rng(seed)
+    times = jnp.asarray(rng.uniform(0.8, 2.5, size=n))
+    head = jnp.asarray(np.stack([rng.uniform(-5, 5, d),
+                                 rng.uniform(-1, 1, d),
+                                 rng.uniform(-1, 1, d)]))
+    tail = jnp.asarray(np.stack([rng.uniform(-5, 5, d),
+                                 rng.uniform(-1, 1, d),
+                                 rng.uniform(-1, 1, d)]))
+    wps = jnp.asarray(rng.uniform(-5, 5, size=(n - 1, d)))
+    return times, head, tail, wps
+
+
+def test_boundary_conditions():
+    times, head, tail, wps = _problem()
+    traj = minco.solve(times, head, tail, wps)
+    t_end = float(jnp.sum(times))
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(trj.eval_at(traj, 0.0, k)),
+                                   np.asarray(head[k]), atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(trj.eval_at(traj, t_end - 1e-12, k)),
+            np.asarray(tail[k]), atol=1e-7)
+
+
+def test_waypoints_and_c4_continuity():
+    times, head, tail, wps = _problem(n=6)
+    traj = minco.solve(times, head, tail, wps)
+    cum = np.cumsum(np.asarray(times))
+    for i, tj in enumerate(cum[:-1]):
+        # waypoint interpolation
+        np.testing.assert_allclose(
+            np.asarray(trj.eval_at(traj, tj - 1e-10, 0)),
+            np.asarray(wps[i]), atol=1e-7)
+        # derivative continuity orders 1..4 across the junction:
+        # evaluate piece i at s=T_i and piece i+1 at s=0 directly.
+        c_l = traj.coeffs[i]
+        c_r = traj.coeffs[i + 1]
+        s = times[i]
+        for order in range(1, 5):
+            beta_l = np.asarray(trj._basis(s, order))
+            beta_r = np.asarray(trj._basis(jnp.zeros(()), order))
+            left = beta_l @ np.asarray(c_l)
+            right = beta_r @ np.asarray(c_r)
+            np.testing.assert_allclose(left, right, atol=1e-6,
+                                       err_msg=f"order {order} junction {i}")
+
+
+def test_energy_matches_quadrature():
+    times, head, tail, wps = _problem(n=4)
+    traj = minco.solve(times, head, tail, wps)
+    e = float(minco.energy(traj))
+    # numerical integral of |jerk|^2
+    t_end = float(jnp.sum(times))
+    ts = jnp.linspace(0.0, t_end - 1e-9, 20001)
+    j = trj.eval_at(traj, ts, 3)
+    e_num = float(jnp.trapezoid(jnp.sum(j * j, -1), ts))
+    np.testing.assert_allclose(e, e_num, rtol=1e-5)
+
+
+def test_min_jerk_straight_line():
+    """With zero vel/acc boundary and collinear waypoints on a straight
+    line, the optimal-energy trajectory stays near the segment."""
+    n = 3
+    times = jnp.ones(n) * 2.0
+    head = jnp.array([[0.0, 0.0, 0.0], [0.0] * 3, [0.0] * 3])
+    tail = jnp.array([[3.0, 0.0, 0.0], [0.0] * 3, [0.0] * 3])
+    wps = jnp.array([[1.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    traj = minco.solve(times, head, tail, wps)
+    ts = jnp.linspace(0, 6.0 - 1e-9, 101)
+    p = np.asarray(trj.eval_at(traj, ts, 0))
+    assert np.abs(p[:, 1]).max() < 1e-8
+    assert p[:, 0].min() > -1e-6 and p[:, 0].max() < 3.0 + 1e-6
+
+
+def test_grad_through_solve():
+    """jax.grad of energy w.r.t. (waypoints, times) is finite and matches
+    finite differences (replaces getEnergyPartialGrad* + propogateGrad,
+    minco.hpp:556-656)."""
+    times, head, tail, wps = _problem(n=4)
+
+    def f(t, w):
+        return minco.energy(minco.solve(t, head, tail, w))
+
+    g_t, g_w = jax.grad(f, argnums=(0, 1))(times, wps)
+    eps = 1e-6
+    for i in range(len(times)):
+        tp = times.at[i].add(eps)
+        tm = times.at[i].add(-eps)
+        fd = (f(tp, wps) - f(tm, wps)) / (2 * eps)
+        np.testing.assert_allclose(float(g_t[i]), float(fd), rtol=2e-4,
+                                   atol=1e-5)
+    wp = wps.at[0, 0].add(eps)
+    wm = wps.at[0, 0].add(-eps)
+    fd = (f(times, wp) - f(times, wm)) / (2 * eps)
+    np.testing.assert_allclose(float(g_w[0, 0]), float(fd), rtol=2e-4)
+
+
+def test_vmap_batch():
+    probs = [_problem(n=4, seed=s) for s in range(3)]
+    times = jnp.stack([p[0] for p in probs])
+    head = jnp.stack([p[1] for p in probs])
+    tail = jnp.stack([p[2] for p in probs])
+    wps = jnp.stack([p[3] for p in probs])
+    batched = jax.vmap(minco.solve)(times, head, tail, wps)
+    for b in range(3):
+        single = minco.solve(times[b], head[b], tail[b], wps[b])
+        np.testing.assert_allclose(np.asarray(batched.coeffs[b]),
+                                   np.asarray(single.coeffs), atol=1e-9)
