@@ -1,0 +1,160 @@
+"""SE(2) A* front end — host search over device-precomputed feasibility.
+
+Re-design of AstarPathSearcher
+(`src/planner_algorithm/include/planner_algorithm/front_end_Astar.hpp:
+53-420`). The reference evaluates shape-kernel byte convolutions and a
+50-step sub-swept-volume sweep inside every neighbor expansion (HOT
+LOOP 1, SURVEY.md §3.2); a ragged best-first search is hostile to XLA,
+so the split here is:
+
+  device (ops/kernels.py): ALL yaw-bin feasibility maps and ALL
+    transition (sub-sweep) feasibility maps for the whole grid,
+    computed once per map+shape as a couple of convolutions;
+  host (this file): a plain heapq A* whose per-expansion work is pure
+    O(1) numpy array lookups.
+
+Semantics mirrored: 8-connected expansion on the z=0 layer, diagonal
+heuristic with 1+1e-3 tie-break (front_end_Astar.hpp:165-183), yaw
+chosen per node at discovery time by BFS over yaw bins from the
+parent's bin (checkKernelValue, sw_manager.hpp:1158-1169), sub-sweep
+transition veto after yaw selection (front_end_Astar.hpp:218-227).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+from svsdf_tpu.ops.kernels import DIRS8, YAW_BFS_DELTAS, bin_yaw, yaw_bin
+from svsdf_tpu.utils.gridmap import GridMap
+
+
+class AstarResult(NamedTuple):
+    success: bool
+    path: np.ndarray        # (L, 3) world (x, y, yaw)
+    yaw_bins: np.ndarray    # (L,)
+    expansions: int
+
+
+def search(grid: GridMap, feas: np.ndarray, trans_feas: Optional[np.ndarray],
+           start_w, goal_w, yaw_num: int,
+           max_expansions: int = 2_000_000,
+           yaw_change_weight: float = 0.1) -> AstarResult:
+    """feas: (K, X, Y) bool from ops.kernels.feasibility_maps;
+    trans_feas: (K, D, 8, X, Y) bool from transition_feasibility (or
+    None to skip the sub-sweep veto).
+
+    yaw_change_weight adds a small per-bin yaw-change edge cost
+    (the reference's getCustomCost hook, front_end_Astar.hpp:186-190,
+    returns 0; a nonzero value discourages wild yaw swings between
+    adjacent cells, which keeps the continuous swept warm start
+    feasible). The heuristic ignores yaw, so admissibility holds.
+    """
+    feas = np.asarray(feas)
+    if trans_feas is not None:
+        trans_feas = np.asarray(trans_feas)
+    X, Y = feas.shape[1], feas.shape[2]
+
+    if not (grid.in_map(start_w) and grid.in_map(goal_w)):
+        return AstarResult(False, np.zeros((0, 3)), np.zeros(0, int), 0)
+
+    si = grid.grid_index(start_w)[:2]
+    gi = grid.grid_index(goal_w)[:2]
+    start = (int(si[0]), int(si[1]))
+    goal = (int(gi[0]), int(gi[1]))
+
+    occ2d = np.asarray(grid.occ2d)
+
+    g_score = np.full((X, Y), np.inf)
+    state = np.zeros((X, Y), dtype=np.int8)   # 0 unseen, 1 open, -1 closed
+    yaw_bins = np.full((X, Y), -1, dtype=np.int32)
+    parent = np.full((X, Y, 2), -1, dtype=np.int32)
+
+    def heu(a):
+        d = (abs(a[0] - goal[0]), abs(a[1] - goal[1]), 0)
+        dmin, dmax = min(d), max(d)
+        dmid = sum(d) - dmin - dmax
+        h = (math.sqrt(3) * dmin + math.sqrt(2) * (dmid - dmin)
+             + (dmax - dmid))
+        return h * (1.0 + 1e-3)
+
+    start_bin = yaw_bin(yaw_num, 0.0)
+    g_score[start] = 0.0
+    yaw_bins[start] = start_bin
+    state[start] = 1
+    counter = 0
+    open_heap = [(heu(start), counter, start)]
+    expansions = 0
+
+    while open_heap:
+        _, _, cur = heapq.heappop(open_heap)
+        if state[cur] == -1:
+            continue
+        state[cur] = -1
+        if cur == goal:
+            return _backtrack(grid, parent, yaw_bins, cur, yaw_num,
+                              expansions)
+        expansions += 1
+        if expansions > max_expansions:
+            break
+        cg = g_score[cur]
+        fbin = int(yaw_bins[cur])
+        for dir_idx, (di, dj) in enumerate(DIRS8):
+            ni, nj = cur[0] + di, cur[1] + dj
+            if ni < 0 or nj < 0 or ni >= X or nj >= Y:
+                continue
+            if occ2d[ni, nj]:
+                continue
+            if state[ni, nj] == -1:
+                continue
+            # yaw-bin BFS from the father's bin; first feasible wins
+            cbin = -1
+            delta_idx = -1
+            for k, dlt in enumerate(YAW_BFS_DELTAS):
+                b = (fbin + dlt) % yaw_num
+                if feas[b, ni, nj]:
+                    cbin = b
+                    delta_idx = k
+                    break
+            if cbin < 0:
+                continue
+            # sub-swept-volume transition veto with the chosen yaw
+            if trans_feas is not None and not trans_feas[
+                    fbin, delta_idx, dir_idx, ni, nj]:
+                continue
+            dbin = abs(YAW_BFS_DELTAS[delta_idx])
+            tg = (cg + math.sqrt(di * di + dj * dj)
+                  + yaw_change_weight * dbin)
+            if tg < g_score[ni, nj]:
+                g_score[ni, nj] = tg
+                parent[ni, nj] = cur
+                if state[ni, nj] == 0:
+                    yaw_bins[ni, nj] = cbin   # yaw fixed at discovery
+                state[ni, nj] = 1
+                counter += 1
+                heapq.heappush(open_heap,
+                               (tg + heu((ni, nj)), counter, (ni, nj)))
+
+    return AstarResult(False, np.zeros((0, 3)), np.zeros(0, int),
+                       expansions)
+
+
+def _backtrack(grid, parent, yaw_bins, cur, yaw_num, expansions):
+    cells = [cur]
+    while tuple(parent[cells[-1]]) != (-1, -1):
+        cells.append(tuple(parent[cells[-1]]))
+    cells.reverse()
+    path = np.zeros((len(cells), 3))
+    bins = np.zeros(len(cells), dtype=int)
+    for i, c in enumerate(cells):
+        center = grid.cube_center((c[0], c[1], 0))
+        b = int(yaw_bins[c])
+        path[i, :2] = center[:2]
+        path[i, 2] = bin_yaw(yaw_num, b)
+        bins[i] = b
+    # the start node keeps yaw = 0.0 (front_end_Astar.hpp:293)
+    path[0, 2] = 0.0
+    return AstarResult(True, path, bins, expansions)

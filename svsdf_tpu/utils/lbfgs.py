@@ -37,6 +37,7 @@ class LBFGSParams:
     s_curv_coeff: float = 0.9   # weak-Wolfe c2
     cautious_factor: float = 1e-6
     init_step: float = 1.0
+    max_nulls: int = 12         # consecutive null steps before giving up
 
 
 class LBFGSResult(NamedTuple):
@@ -47,11 +48,13 @@ class LBFGSResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def _weak_wolfe_search(fun, x, f0, g0, d, p: LBFGSParams):
+def _weak_wolfe_search(fun, x, f0, g0, d, p: LBFGSParams, t0=None):
     """Lewis–Overton bisection line search (lbfgs.hpp:290-405).
 
     Returns (t, x_new, f_new, g_new, ok)."""
     dg0 = jnp.vdot(g0, d)
+    if t0 is None:
+        t0 = jnp.asarray(p.init_step, x.dtype)
 
     def body(carry):
         k, t, lo, hi, _, _, _, _ = carry
@@ -75,17 +78,19 @@ def _weak_wolfe_search(fun, x, f0, g0, d, p: LBFGSParams):
         k, t, lo, hi, xt, ft, gt, ok = carry
         return (k < p.max_linesearch) & (~ok)
 
-    init = (jnp.asarray(0), jnp.asarray(p.init_step, x.dtype),
+    init = (jnp.asarray(0), t0,
             jnp.asarray(0.0, x.dtype), jnp.asarray(jnp.inf, x.dtype),
             x, f0, g0, jnp.asarray(False))
     k, t, lo, hi, xt, ft, gt, ok = jax.lax.while_loop(cond, body, init)
     # Even if Wolfe wasn't satisfied, accept the point if it decreased f
     # (bundle-method style tolerance for nonsmooth kinks).
     accept = ok | (ft < f0)
-    xt = jnp.where(accept, xt, x)
-    ft = jnp.where(accept, ft, f0)
-    gt = jnp.where(accept, gt, g0)
-    return t, xt, ft, gt, accept
+    x_new = jnp.where(accept, xt, x)
+    f_new = jnp.where(accept, ft, f0)
+    g_new = jnp.where(accept, gt, g0)
+    # On failure, (xt, ft, gt) is the last (rejected) trial — its
+    # subgradient is the bundle information for a null step.
+    return t, x_new, f_new, g_new, accept, xt, gt
 
 
 def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
@@ -101,13 +106,15 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
     class Carry(NamedTuple):
         x: jnp.ndarray
         f: jnp.ndarray
-        g: jnp.ndarray
+        g: jnp.ndarray        # gradient at x
+        ga: jnp.ndarray       # aggregate subgradient (LMBM-style)
         s_hist: jnp.ndarray   # (m, n)
         y_hist: jnp.ndarray   # (m, n)
         rho: jnp.ndarray      # (m,)
         n_corr: jnp.ndarray   # number of valid corrections
         head: jnp.ndarray     # ring-buffer write position
         past_f: jnp.ndarray   # (past,) cost history
+        nulls: jnp.ndarray    # consecutive null steps
         it: jnp.ndarray
         done: jnp.ndarray
         converged: jnp.ndarray
@@ -145,13 +152,18 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
         return r_
 
     def step(c: Carry) -> Carry:
-        d = -two_loop(c.g, c.s_hist, c.y_hist, c.rho, c.n_corr, c.head)
+        d = -two_loop(c.ga, c.s_hist, c.y_hist, c.rho, c.n_corr, c.head)
         # safeguard: ensure descent direction; else steepest descent
-        dg = jnp.vdot(d, c.g)
-        d = jnp.where(dg < 0, d, -c.g)
+        dg = jnp.vdot(d, c.ga)
+        d = jnp.where(dg < 0, d, -c.ga)
 
-        t, x_new, f_new, g_new, ok = _weak_wolfe_search(
-            fun, c.x, c.f, c.g, d, p)
+        # with no curvature history, scale the first trial step to a
+        # unit move (lbfgs.hpp initializes step = 1/||d||)
+        t0 = jnp.where(c.n_corr == 0,
+                       1.0 / jnp.maximum(jnp.linalg.norm(d), 1.0),
+                       jnp.asarray(p.init_step, c.x.dtype))
+        t, x_new, f_new, g_new, ok, x_trial, g_trial = _weak_wolfe_search(
+            fun, c.x, c.f, c.ga, d, p, t0=t0)
 
         s = x_new - c.x
         y = g_new - c.g
@@ -168,27 +180,44 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
         head = jnp.where(do_update, (head + 1) % m, head)
         n_corr = jnp.where(do_update, jnp.minimum(c.n_corr + 1, m), c.n_corr)
 
+        # --- LMBM-style null step: the line search failed to decrease.
+        # Aggregate the rejected trial's subgradient with the current
+        # aggregate (min-norm convex combination, the 2-element bundle
+        # of lmbm_sub.f's aggregation) and stay at x. At a kink where
+        # two smooth pieces meet, the aggregate turns the conflicting
+        # subgradients into a genuine descent direction.
+        diff = g_trial - c.ga
+        denom = jnp.vdot(diff, diff)
+        lam = jnp.clip(jnp.vdot(c.ga, c.ga - g_trial) /
+                       jnp.maximum(denom, 1e-30), 0.0, 1.0)
+        ga_null = lam * g_trial + (1.0 - lam) * c.ga
+        ga = jnp.where(ok, g_new, ga_null)
+        nulls = jnp.where(ok, 0, c.nulls + 1)
+
         # convergence tests
-        g_inf = jnp.max(jnp.abs(g_new)) / jnp.maximum(
+        g_inf = jnp.max(jnp.abs(ga)) / jnp.maximum(
             1.0, jnp.linalg.norm(x_new))
         small_grad = g_inf < p.g_epsilon
         fpast = c.past_f[c.it % p.past]
         rel_dec = (fpast - f_new) / jnp.maximum(jnp.abs(f_new), 1e-30)
-        stalled = (c.it >= p.past) & (rel_dec < p.delta)
-        no_progress = ~ok
+        stalled = ok & (c.it >= p.past) & (rel_dec < p.delta)
         converged = small_grad | stalled
-        done = converged | no_progress
+        done = converged | (nulls >= p.max_nulls)
 
         past_f = c.past_f.at[c.it % p.past].set(f_new)
-        return Carry(x_new, f_new, g_new, s_hist, y_hist, rho, n_corr,
-                     head, past_f, c.it + 1, done, converged)
+        # on a null step x is unchanged — keep the true gradient at x
+        g_at_x = jnp.where(ok, g_new, c.g)
+        return Carry(x_new, f_new, g_at_x, ga, s_hist, y_hist, rho,
+                     n_corr, head, past_f, nulls, c.it + 1, done,
+                     converged)
 
     init = Carry(
-        x=x0, f=f0, g=g0,
+        x=x0, f=f0, g=g0, ga=g0,
         s_hist=jnp.zeros((m, n), dtype), y_hist=jnp.zeros((m, n), dtype),
         rho=jnp.zeros((m,), dtype), n_corr=jnp.asarray(0),
         head=jnp.asarray(0),
         past_f=jnp.full((p.past,), jnp.inf, dtype).at[0].set(f0),
+        nulls=jnp.asarray(0),
         it=jnp.asarray(0), done=jnp.max(jnp.abs(g0)) < p.g_epsilon,
         converged=jnp.max(jnp.abs(g0)) < p.g_epsilon)
 
