@@ -1,0 +1,126 @@
+"""Benchmark: batched SVSDF planning throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: batched back-end plans/s (full nonsmooth L-BFGS solve,
+50 iterations, over a vmapped scenario batch). The reference publishes
+no numbers (BASELINE.md); the north-star target is >=1000 plans/s on a
+v5e-16, i.e. 62.5 plans/s/chip — vs_baseline is measured against that.
+Also reports dense SVSDF grid queries/s/chip as a secondary field.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _problem(n_pieces, n_obs, batch, seed=0):
+    from svsdf_tpu.utils.transforms import backward_t
+    rng = np.random.default_rng(seed)
+    head = np.zeros((batch, 3, 3), np.float32)
+    tail = np.zeros((batch, 3, 3), np.float32)
+    goals = rng.uniform([6, -2], [10, 2], size=(batch, 2))
+    tail[:, 0, :2] = goals
+    tail[:, 0, 2] = rng.uniform(-1, 1, batch)
+    frac = np.linspace(0, 1, n_pieces + 1)[1:-1]
+    wps = (head[:, 0][:, None, :] * (1 - frac)[None, :, None]
+           + tail[:, 0][:, None, :] * frac[None, :, None])
+    wps = wps + rng.normal(0, 0.2, wps.shape)
+    obs = rng.uniform([-1, -5], [11, 5], size=(batch, n_obs, 2))
+    tau = np.tile(np.asarray(backward_t(jnp.full((n_pieces,), 1.5))),
+                  (batch, 1))
+    x0 = np.concatenate([tau, wps.reshape(batch, -1)], axis=1)
+    return (jnp.asarray(head), jnp.asarray(tail), jnp.asarray(obs),
+            jnp.asarray(x0.astype(np.float32)))
+
+
+def bench_plans(batch=256, n_pieces=8, n_obs=64, iters=50):
+    from svsdf_tpu.models import shapes
+    from svsdf_tpu.ops.svsdf import SVSDFConfig
+    from svsdf_tpu.parallel import batch as pbatch
+    from svsdf_tpu.planner.back_end import BackEndProblem
+    from svsdf_tpu.utils.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    svs_cfg = SVSDFConfig(coarse_n=128, refine_rounds=2, refine_n=16,
+                          gsip_iters=4, gsip_coarse_n=48,
+                          gsip_refine_rounds=1)
+    shape = shapes.make_shape("sdHeart")
+    head, tail, obs, x0 = _problem(n_pieces, n_obs, batch)
+    probs = BackEndProblem(head, tail, obs)
+
+    run = lambda: pbatch.plan_batch(shape, x0, probs, cfg, svs_cfg,
+                                    n_pieces, iters)
+    out = run()                      # compile + first run
+    out.cost.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run()
+        out.cost.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return batch / dt, dt
+
+
+def bench_grid_queries(grid=256, coarse_n=256):
+    from svsdf_tpu.models import shapes
+    from svsdf_tpu.ops import minco
+    from svsdf_tpu.ops.svsdf import SVSDFConfig, svsdf_query
+
+    shape = shapes.make_shape("sdHeart")
+    n = 6
+    head = jnp.asarray([[0.0, 0.0, 0.0], [0.0] * 3, [0.0] * 3],
+                       jnp.float32)
+    tail = jnp.asarray([[10.0, 0.0, 1.0], [0.0] * 3, [0.0] * 3],
+                       jnp.float32)
+    frac = np.linspace(0, 1, n + 1)[1:-1]
+    wps = jnp.asarray(np.stack([10 * frac, np.sin(5 * frac), frac], -1),
+                      jnp.float32)
+    traj = minco.solve(jnp.full((n,), 1.5, jnp.float32), head, tail, wps)
+    xs = np.linspace(-4, 14, grid)
+    ys = np.linspace(-8, 8, grid)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], -1), jnp.float32)
+    svs_cfg = SVSDFConfig(coarse_n=coarse_n, refine_rounds=3)
+
+    fn = jax.jit(lambda p: svsdf_query(shape, traj, p, svs_cfg,
+                                       with_inside=False).sdf)
+    out = fn(pts)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        fn(pts).block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return pts.shape[0] / dt, dt
+
+
+def main():
+    plans_per_s, plan_dt = bench_plans()
+    queries_per_s, grid_dt = bench_grid_queries()
+    target_per_chip = 1000.0 / 16.0   # north star: 1000 plans/s on v5e-16
+    print(json.dumps({
+        "metric": "batched_svsdf_plans_per_s_per_chip",
+        "value": round(plans_per_s, 2),
+        "unit": "plans/s",
+        "vs_baseline": round(plans_per_s / target_per_chip, 3),
+        "extra": {
+            "svsdf_grid_queries_per_s": round(queries_per_s, 1),
+            "grid_query_batch_ms": round(grid_dt * 1e3, 2),
+            "plan_batch_wall_s": round(plan_dt, 3),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,8 +131,14 @@ def transition_stencils(shape: Shape2D, yaw_num: int, resolution: float,
 
     def one(fbin, delta, dvec):
         father_yaw = bin_yaw(yaw_num, fbin)
-        child_yaw = bin_yaw(yaw_num, (fbin + delta) % yaw_num)
-        yaw_t = (1.0 - t) * father_yaw + t * child_yaw   # raw lerp, as ref
+        # short-arc yaw interpolation: the physical rotation between the
+        # bins is delta * 2pi/K. (The reference lerps RAW yaw values,
+        # sw_manager.hpp:1193 — across the +-pi seam that sweeps a
+        # near-full spin and spuriously blocks/admits transitions; the
+        # planner treats yaw as an R^3 spline coordinate, so the A*
+        # path yaws are unwrapped to match, planner/astar.py.)
+        child_yaw = father_yaw + delta * (2.0 * PI / yaw_num)
+        yaw_t = (1.0 - t) * father_yaw + t * child_yaw
         # shape center at time t, relative to the child cell
         cx = -(1.0 - t)[:, None] * dvec                  # (T, 2)
         d = pts[None] - cx[:, None, None]                # (T, s, s, 2)

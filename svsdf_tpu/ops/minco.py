@@ -120,9 +120,48 @@ def build_system(times, head, tail, waypoints):
     return m, rhs
 
 
+def build_bands(times, head, tail, waypoints):
+    """Assemble the system directly in banded storage (bandwidth 6 —
+    the same structure the reference's BandedSystem exploits,
+    minco.hpp:43-198). Returns bands (6N, 13), rhs (6N, D)."""
+    from svsdf_tpu.ops.banded import LBW, NDIAG
+
+    n = times.shape[0]
+    d = head.shape[-1]
+    dtype = times.dtype
+    rows, cols, piece, power, coef = _index_plan(n)
+    diag = cols - rows + LBW
+    assert (diag >= 0).all() and (diag < NDIAG).all()
+
+    tp = jnp.stack([times ** k for k in range(6)], axis=0)  # (6, N)
+    vals = jnp.asarray(coef, dtype=dtype) * tp[power, piece]
+
+    bands = jnp.zeros((6 * n, NDIAG), dtype=dtype)
+    bands = bands.at[rows, diag].add(vals)
+
+    rhs = jnp.zeros((6 * n, d), dtype=dtype)
+    rhs = rhs.at[0:3, :].set(head)
+    if n > 1:
+        rhs = rhs.at[6 * np.arange(n - 1) + 5, :].set(waypoints)
+    rhs = rhs.at[6 * n - 3:, :].set(tail)
+    return bands, rhs
+
+
 def solve(times, head, tail, waypoints) -> Trajectory:
     """Waypoints + times -> quintic Trajectory (setParameters +
-    getTrajectory, minco.hpp:433-530). Fully differentiable."""
+    getTrajectory, minco.hpp:433-530). Fully differentiable; the solve
+    is the scan-based banded LU of ops/banded.py (XLA's general LU is
+    ~60x slower on TPU for these shapes)."""
+    from svsdf_tpu.ops.banded import banded_solve
+
+    n = times.shape[0]
+    bands, rhs = build_bands(times, head, tail, waypoints)
+    c = banded_solve(bands, rhs)
+    return Trajectory(coeffs=c.reshape(n, 6, -1), durations=times)
+
+
+def solve_dense(times, head, tail, waypoints) -> Trajectory:
+    """Reference implementation via dense jnp.linalg.solve (tests)."""
     n = times.shape[0]
     m, rhs = build_system(times, head, tail, waypoints)
     c = jnp.linalg.solve(m, rhs)

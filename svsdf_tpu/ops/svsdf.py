@@ -59,6 +59,7 @@ class SVSDFConfig:
     gsip_tol: float = 0.1     # |max g| stop threshold (sw_manager:996)
     gsip_coarse_n: int = 96   # cheaper t*-search for GSIP boundary evals
     gsip_refine_rounds: int = 2
+    use_inside: bool = True   # run the GSIP interior solve at all
 
 
 DEFAULT_CONFIG = SVSDFConfig()

@@ -1,0 +1,120 @@
+"""Scenario batching and multi-chip sharded planning.
+
+The reference's only parallelism is an OpenMP loop over obstacle points
+inside one plan (SURVEY.md §2.6). The TPU equivalents implemented here:
+
+  * plan_batch: `vmap` the whole back-end optimization over a batch of
+    scenarios (same piece count N and obstacle count M) — thousands of
+    independent plans advance in lockstep on one chip.
+  * sharded_value_and_grad / sharded_step: `shard_map` over a device
+    mesh with axes (scn, obs): scenarios are data-parallel, obstacle
+    points within each scenario are model-parallel, and the penalty's
+    cost/gradient reduction rides a `psum` over the obs axis — the
+    moral replacement of the reference's `#pragma omp critical`
+    gradient merge (back_end_optimizer.hpp:855-863).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from svsdf_tpu.models.shapes import Shape2D
+from svsdf_tpu.ops import minco
+from svsdf_tpu.ops.svsdf import DEFAULT_CONFIG, SVSDFConfig
+from svsdf_tpu.planner import back_end
+from svsdf_tpu.utils import lbfgs
+from svsdf_tpu.utils.config import PlannerConfig
+from svsdf_tpu.utils.transforms import forward_t
+
+
+def make_mesh(n_scn: int, n_obs: int, devices=None) -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    assert n_scn * n_obs <= len(devices)
+    import numpy as np
+    dev = np.asarray(devices[:n_scn * n_obs]).reshape(n_scn, n_obs)
+    return Mesh(dev, axis_names=("scn", "obs"))
+
+
+# ---------------------------------------------------------------------------
+# single-chip scenario batching
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def plan_batch(shape: Shape2D, x0_b, problems_b, cfg: PlannerConfig,
+               svs_cfg: SVSDFConfig, n: int, max_iters: int):
+    """vmap the back-end solve over B scenarios.
+
+    x0_b: (B, 4N-3); problems_b: BackEndProblem with leading batch dim
+    on every leaf. Returns batched BackEndResult.
+    """
+    def solve_one(x0, head, tail, obstacles):
+        prob = back_end.BackEndProblem(head, tail, obstacles)
+        cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
+        params = lbfgs.LBFGSParams(mem_size=cfg.mem_size,
+                                   max_iterations=max_iters,
+                                   g_epsilon=1e-7, past=3,
+                                   delta=cfg.relCostTol)
+        res = lbfgs.minimize(jax.value_and_grad(cost), x0, params)
+        times = forward_t(res.x[:n])
+        wps = res.x[n:].reshape(n - 1, 3)
+        traj = minco.solve(times, head, tail, wps)
+        return back_end.BackEndResult(traj, res.x, res.f, res.n_iters,
+                                      res.converged)
+
+    return jax.vmap(solve_one)(x0_b, problems_b.head, problems_b.tail,
+                               problems_b.obstacles)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip sharded cost/gradient (scn x obs mesh)
+# ---------------------------------------------------------------------------
+
+def sharded_value_and_grad(shape: Shape2D, mesh: Mesh,
+                           cfg: PlannerConfig, svs_cfg: SVSDFConfig,
+                           n: int):
+    """Returns f(x_b, head_b, tail_b, obs_b) -> (cost_b, grad_b) with
+    obstacle points sharded over the 'obs' mesh axis and scenarios over
+    'scn'. The obs-axis partial penalties are reduced with a psum
+    INSIDE the shard_map, so the gradient collective rides ICI.
+    """
+    def local_cost(x, head, tail, obs_shard):
+        tau = x[:n]
+        wps = x[n:].reshape(n - 1, 3)
+        times = forward_t(tau)
+        traj = minco.solve(times, head, tail, wps)
+        pen, _ = back_end.svsdf_penalty(shape, traj, obs_shard, cfg,
+                                        svs_cfg)
+        pen = jax.lax.psum(pen, axis_name="obs")
+        base = minco.energy(traj) + cfg.rho * jnp.sum(times)
+        return base + pen
+
+    def shard_fn(x_b, head_b, tail_b, obs_b):
+        def one(x, head, tail, obs):
+            return jax.value_and_grad(local_cost)(x, head, tail, obs)
+        return jax.vmap(one)(x_b, head_b, tail_b, obs_b)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("scn"), P("scn"), P("scn"), P("scn", "obs")),
+        out_specs=(P("scn"), P("scn")),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def sharded_step(shape: Shape2D, mesh: Mesh, cfg: PlannerConfig,
+                 svs_cfg: SVSDFConfig, n: int, lr: float = 1e-2):
+    """One sharded gradient step over the full batch — the 'training
+    step' of the planning workload (used by the multi-chip dry run)."""
+    vg = sharded_value_and_grad(shape, mesh, cfg, svs_cfg, n)
+
+    @jax.jit
+    def step(x_b, head_b, tail_b, obs_b):
+        cost, grad = vg(x_b, head_b, tail_b, obs_b)
+        return x_b - lr * grad, cost
+
+    return step

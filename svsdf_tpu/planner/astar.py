@@ -149,12 +149,19 @@ def _backtrack(grid, parent, yaw_bins, cur, yaw_num, expansions):
     cells.reverse()
     path = np.zeros((len(cells), 3))
     bins = np.zeros(len(cells), dtype=int)
+    # Unwrap yaw along the path (short-arc accumulation): yaw is an R^3
+    # spline coordinate downstream, so consecutive values must differ
+    # by the physical rotation, not jump across the +-pi seam. (The
+    # reference emits raw bin yaws, front_end_Astar.hpp:380-382.)
+    yaw = 0.0  # the start node keeps yaw = 0.0 (front_end_Astar.hpp:293)
+    prev_b = int(yaw_bins[cells[0]])
     for i, c in enumerate(cells):
         center = grid.cube_center((c[0], c[1], 0))
         b = int(yaw_bins[c])
+        dbin = (b - prev_b + yaw_num // 2) % yaw_num - yaw_num // 2
+        yaw += dbin * (2.0 * math.pi / yaw_num)
         path[i, :2] = center[:2]
-        path[i, 2] = bin_yaw(yaw_num, b)
+        path[i, 2] = yaw
         bins[i] = b
-    # the start node keeps yaw = 0.0 (front_end_Astar.hpp:293)
-    path[0, 2] = 0.0
+        prev_b = b
     return AstarResult(True, path, bins, expansions)

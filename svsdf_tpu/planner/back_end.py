@@ -64,7 +64,8 @@ def svsdf_penalty(shape: Shape2D, traj: trj.Trajectory, obstacles,
     # --- oracle under stop_gradient (envelope theorem at t*) ---
     traj_sg = trj.Trajectory(jax.lax.stop_gradient(traj.coeffs),
                              jax.lax.stop_gradient(traj.durations))
-    res = svsdf_query(shape, traj_sg, obstacles, svs_cfg)
+    res = svsdf_query(shape, traj_sg, obstacles, svs_cfg,
+                      with_inside=svs_cfg.use_inside)
     sdf0 = jax.lax.stop_gradient(res.sdf)
     t_star = jax.lax.stop_gradient(res.t_star)
     g_w = jax.lax.stop_gradient(res.grad_world)        # (M, 2)

@@ -54,28 +54,49 @@ class Planner:
             config.occupancy_resolution, safemargin)
         occ2d = jnp.asarray(self.grid.occ2d)
         self.feas = np.asarray(kops.feasibility_maps(occ2d, self._kernels))
+        self._occ2d_dev = occ2d
         if use_transition_check:
-            # exact guard: cover the full rotated-shape footprint plus
-            # the one-cell motion (see transition_stencils docstring)
-            guard = (config.kernel_size // 2 + 2) * \
+            # guard ladder: the exact full-footprint guard first (keeps
+            # warm starts continuously feasible); if A* finds no path —
+            # big shapes whose 20-degree bin sweeps are too fat for the
+            # corridor — fall back to looser guards, ending at the
+            # reference's +-2 m box (front_end_Astar.hpp:68,222).
+            full = (config.kernel_size // 2 + 2) * \
                 config.occupancy_resolution
-            stencils = kops.transition_stencils(
-                self.shape, config.kernel_yaw_num,
-                config.occupancy_resolution, guard_half_world=guard)
-            self.trans_feas = np.asarray(
-                kops.transition_feasibility(occ2d, stencils))
+            self.guard_ladder = [g for g in (full, 4.0, 2.0)
+                                 if g <= full]
+            if self.guard_ladder[-1] != 2.0:
+                self.guard_ladder.append(2.0)
         else:
-            self.trans_feas = None
+            self.guard_ladder = [None]
+        self._trans_feas_cache = {}
         #: kernel bounding box, bdx = kernel_size * resolution
         #: (plan_manager.cpp:57-59)
         self.bd = config.kernel_size * config.occupancy_resolution
 
     # -- front end ---------------------------------------------------------
 
+    def _trans_feas(self, guard):
+        if guard is None:
+            return None
+        if guard not in self._trans_feas_cache:
+            stencils = kops.transition_stencils(
+                self.shape, self.config.kernel_yaw_num,
+                self.config.occupancy_resolution, guard_half_world=guard)
+            self._trans_feas_cache[guard] = np.asarray(
+                kops.transition_feasibility(self._occ2d_dev, stencils))
+        return self._trans_feas_cache[guard]
+
     def generate_path(self, start, goal) -> astar.AstarResult:
-        return astar.search(self.grid, self.feas, self.trans_feas,
-                            np.asarray(start), np.asarray(goal),
-                            self.config.kernel_yaw_num)
+        res = None
+        for guard in self.guard_ladder:
+            res = astar.search(self.grid, self.feas,
+                               self._trans_feas(guard),
+                               np.asarray(start), np.asarray(goal),
+                               self.config.kernel_yaw_num)
+            if res.success:
+                return res
+        return res
 
     # -- waypoint subsampling + obstacle harvest ---------------------------
 
