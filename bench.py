@@ -42,7 +42,10 @@ def _problem(n_pieces, n_obs, batch, seed=0):
             jnp.asarray(x0.astype(np.float32)))
 
 
-def bench_plans(batch=256, n_pieces=8, n_obs=64, iters=50):
+def bench_plans(n_pieces=8, n_obs=64, iters=50):
+    """Full-featured (GSIP interior solve enabled) batched planning
+    throughput. Tries a batch ladder — very large batches with the
+    interior solve compiled in can exceed the TPU compiler's limits."""
     from svsdf_tpu.models import shapes
     from svsdf_tpu.ops.svsdf import SVSDFConfig
     from svsdf_tpu.parallel import batch as pbatch
@@ -54,20 +57,25 @@ def bench_plans(batch=256, n_pieces=8, n_obs=64, iters=50):
                           gsip_iters=4, gsip_coarse_n=48,
                           gsip_refine_rounds=1)
     shape = shapes.make_shape("sdHeart")
-    head, tail, obs, x0 = _problem(n_pieces, n_obs, batch)
-    probs = BackEndProblem(head, tail, obs)
-
-    run = lambda: pbatch.plan_batch(shape, x0, probs, cfg, svs_cfg,
-                                    n_pieces, iters)
-    out = run()                      # compile + first run
-    out.cost.block_until_ready()
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        out = run()
-        out.cost.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return batch / dt, dt
+    for batch in (128, 64, 32):
+        try:
+            head, tail, obs, x0 = _problem(n_pieces, n_obs, batch)
+            probs = BackEndProblem(head, tail, obs)
+            run = lambda: pbatch.plan_batch(shape, x0, probs, cfg,
+                                            svs_cfg, n_pieces, iters)
+            out = run()              # compile + first run
+            out.cost.block_until_ready()
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                out = run()
+                out.cost.block_until_ready()
+            dt = (time.perf_counter() - t0) / reps
+            return batch / dt, dt, batch
+        except Exception as e:                     # noqa: BLE001
+            print(f"# batch={batch} failed: {str(e)[:120]}",
+                  file=sys.stderr)
+    return float("nan"), float("nan"), 0
 
 
 def bench_grid_queries(grid=256, coarse_n=256):
@@ -104,7 +112,7 @@ def bench_grid_queries(grid=256, coarse_n=256):
 
 
 def main():
-    plans_per_s, plan_dt = bench_plans()
+    plans_per_s, plan_dt, used_batch = bench_plans()
     queries_per_s, grid_dt = bench_grid_queries()
     target_per_chip = 1000.0 / 16.0   # north star: 1000 plans/s on v5e-16
     print(json.dumps({
@@ -116,6 +124,7 @@ def main():
             "svsdf_grid_queries_per_s": round(queries_per_s, 1),
             "grid_query_batch_ms": round(grid_dt * 1e3, 2),
             "plan_batch_wall_s": round(plan_dt, 3),
+            "plan_batch_size": used_batch,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -80,36 +80,74 @@ def sdf_at_time(shape: Shape2D, traj: trj.Trajectory, p_world, t):
     return shape.sdf(p_rel)
 
 
-def _tstar_search(shape, traj, p, cfg: SVSDFConfig):
-    """Dense coarse-to-fine argmin of SDF over trajectory time.
+def _sdf_many_times(shape: Shape2D, traj, points, ts):
+    """SDF of M points at K shared trajectory times: (M, K).
 
-    p: (2,) single world point -> (sdf_min, t_star). vmap over points.
+    The trajectory pose is evaluated ONCE per time sample and broadcast
+    over the query points — the memory-traffic key to the whole op
+    (a per-point pose eval would materialize (M, K, N, 6) basis
+    tensors and go HBM-bound)."""
+    xy, yaw, R = trj.state_se2(traj, ts)          # (K, 2), (K,), (K,2,2)
+    d = points[:, None, :] - xy[None]             # (M, K, 2)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    prx = c[None] * d[..., 0] + s[None] * d[..., 1]
+    pry = -s[None] * d[..., 0] + c[None] * d[..., 1]
+    return shape.sdf(jnp.stack([prx, pry], axis=-1))
+
+
+def tstar_search_batch(shape, traj, points, cfg: SVSDFConfig):
+    """Batched argmin of SDF over trajectory time for M points.
+
     Replaces choiceTInit + gradientDescent (sw_manager.hpp:539-725,
-    1249-1334) with fixed-shape sampling; final time resolution is
-    T/(coarse_n-1)/( (refine_n-1)/2 )^rounds.
+    1249-1334): a dense coarse scan over K shared time samples, then a
+    fixed-iteration golden-section refinement inside the bracketing
+    coarse cell (2 cheap (M,)-shaped evals per iteration).
+    Returns (sdf_min (M,), t_star (M,)).
     """
     total = traj.total_duration
+    m = points.shape[0]
     ts = jnp.linspace(0.0, total, cfg.coarse_n)
-    d = sdf_at_time(shape, traj, p, ts)
-    i = jnp.argmin(d)
-    t0 = ts[i]
-    best = d[i]
-    half = total / (cfg.coarse_n - 1)
+    d = _sdf_many_times(shape, traj, points, ts)     # (M, K)
+    i = jnp.argmin(d, axis=1)
+    dt = total / (cfg.coarse_n - 1)
+    t0 = i * dt
+    best = jnp.min(d, axis=1)
+    lo = jnp.clip(t0 - dt, 0.0, total)
+    hi = jnp.clip(t0 + dt, 0.0, total)
 
-    def refine(carry, _):
-        t0, best, half = carry
-        lo = jnp.clip(t0 - half, 0.0, total)
-        hi = jnp.clip(t0 + half, 0.0, total)
-        ts = jnp.linspace(lo, hi, cfg.refine_n)
-        d = sdf_at_time(shape, traj, p, ts)
-        i = jnp.argmin(d)
-        new_best = jnp.minimum(best, d[i])
-        new_t0 = jnp.where(d[i] <= best, ts[i], t0)
-        return (new_t0, new_best, (hi - lo) / (cfg.refine_n - 1)), None
+    # golden-section on the bracket (branchless, fixed iterations)
+    gr = 0.6180339887498949
+    x1 = hi - gr * (hi - lo)
+    x2 = lo + gr * (hi - lo)
+    f1 = sdf_at_time(shape, traj, points, x1)
+    f2 = sdf_at_time(shape, traj, points, x2)
 
-    (t0, best, _), _ = jax.lax.scan(
-        refine, (t0, best, half), None, length=cfg.refine_rounds)
-    return best, t0
+    def body(carry, _):
+        lo, hi, x1, x2, f1, f2 = carry
+        left = f1 < f2
+        lo_n = jnp.where(left, lo, x1)
+        hi_n = jnp.where(left, x2, hi)
+        x1_n = jnp.where(left, hi_n - gr * (hi_n - lo_n), x2)
+        x2_n = jnp.where(left, x1, lo_n + gr * (hi_n - lo_n))
+        f_new = sdf_at_time(shape, traj, points,
+                            jnp.where(left, x1_n, x2_n))
+        f1_n = jnp.where(left, f_new, f2)
+        f2_n = jnp.where(left, f1, f_new)
+        return (lo_n, hi_n, x1_n, x2_n, f1_n, f2_n), None
+
+    iters = max(1, cfg.refine_rounds) * 8
+    (lo, hi, x1, x2, f1, f2), _ = jax.lax.scan(
+        body, (lo, hi, x1, x2, f1, f2), None, length=iters)
+    t_ref = jnp.where(f1 < f2, x1, x2)
+    f_ref = jnp.minimum(f1, f2)
+    t_star = jnp.where(f_ref < best, t_ref, t0)
+    return jnp.minimum(f_ref, best), t_star
+
+
+def _tstar_search(shape, traj, p, cfg: SVSDFConfig):
+    """Single-point wrapper (kept for the GSIP inner loop and tests)."""
+    sdf, t = tstar_search_batch(shape, traj, p[None], cfg)
+    return sdf[0], t[0]
 
 
 def _grad_world_at(shape, traj, p, t):
@@ -163,8 +201,7 @@ def _gsip_inside(shape, traj, p, t_star0, cfg: SVSDFConfig):
         valid = j < count
         thetas = theta0 + j * theta_res
         ys = p + r * jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], -1)
-        g, ts = jax.vmap(lambda y: _tstar_search(shape, traj, y,
-                                                 inner_cfg))(ys)
+        g, ts = tstar_search_batch(shape, traj, ys, inner_cfg)
         g = jnp.where(valid, g, -jnp.inf)
         jstar = jnp.argmax(g)
         max_g = g[jstar]
@@ -207,8 +244,7 @@ def svsdf_query(shape: Shape2D, traj: trj.Trajectory, points,
     near convergence) its cost vanishes.
     """
     points = jnp.asarray(points)
-    sdf, t_star = jax.vmap(lambda q: _tstar_search(shape, traj, q, cfg))(
-        points)
+    sdf, t_star = tstar_search_batch(shape, traj, points, cfg)
     grad_world = jax.vmap(lambda q, t: _grad_world_at(shape, traj, q, t))(
         points, t_star)
 

@@ -58,7 +58,8 @@ def plan_batch(shape: Shape2D, x0_b, problems_b, cfg: PlannerConfig,
         params = lbfgs.LBFGSParams(mem_size=cfg.mem_size,
                                    max_iterations=max_iters,
                                    g_epsilon=1e-7, past=3,
-                                   delta=cfg.relCostTol)
+                                   delta=cfg.relCostTol,
+                                   max_linesearch=16)
         res = lbfgs.minimize(jax.value_and_grad(cost), x0, params)
         times = forward_t(res.x[:n])
         wps = res.x[n:].reshape(n - 1, 3)

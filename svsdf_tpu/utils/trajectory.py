@@ -91,15 +91,42 @@ def locate_piece(durations, t):
     return idx, s
 
 
-def eval_at(traj: Trajectory, t, order: int = 0):
-    """Evaluate the `order`-th derivative at global times t.
-
-    t: scalar or (...,) array -> returns (..., D).
-    """
+def eval_at_gather(traj: Trajectory, t, order: int = 0):
+    """Evaluate via piece gather (reference semantics; kept for tests —
+    gathers are slow on TPU, prefer eval_at)."""
     idx, s = locate_piece(traj.durations, t)
     c = jnp.take(traj.coeffs, idx, axis=0)          # (..., 6, D)
     beta = _basis(s, order)                          # (..., 6)
     return jnp.einsum("...k,...kd->...d", beta, c)
+
+
+def eval_at(traj: Trajectory, t, order: int = 0):
+    """Evaluate the `order`-th derivative at global times t.
+
+    t: scalar or (...,) array -> returns (..., D).
+
+    TPU-native strategy: instead of locating the piece and gathering
+    its coefficients (gathers serialize badly on TPU for big query
+    batches), evaluate EVERY piece's polynomial at its clipped local
+    time and combine with a dense one-hot piece mask — N x more (tiny)
+    FLOPs, zero gathers, fully vectorized over any query batch. The
+    local time stays differentiable w.r.t. durations exactly like
+    locate_piece (stop_gradient on the mask and the clip bound).
+    """
+    t = jnp.asarray(t)
+    n = traj.coeffs.shape[0]
+    cum = jnp.cumsum(traj.durations)                 # (N,)
+    starts = jnp.concatenate([jnp.zeros_like(cum[:1]), cum[:-1]])
+    # piece index = number of interior boundaries <= t
+    cum_sg = jax.lax.stop_gradient(cum)
+    idx = jnp.sum(t[..., None] >= cum_sg[:-1], axis=-1)   # (...,)
+    one_hot = (idx[..., None] ==
+               jnp.arange(n)).astype(traj.coeffs.dtype)   # (..., N)
+    s = t[..., None] - starts                             # (..., N)
+    s = jnp.clip(s, 0.0, jax.lax.stop_gradient(traj.durations))
+    beta = _basis(s, order)                               # (..., N, 6)
+    vals = jnp.einsum("...nk,nkd->...nd", beta, traj.coeffs)
+    return jnp.einsum("...n,...nd->...d", one_hot, vals)
 
 
 def pos(traj, t):

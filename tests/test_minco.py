@@ -119,3 +119,30 @@ def test_vmap_batch():
         single = minco.solve(times[b], head[b], tail[b], wps[b])
         np.testing.assert_allclose(np.asarray(batched.coeffs[b]),
                                    np.asarray(single.coeffs), atol=1e-9)
+
+
+def test_eval_dense_matches_gather():
+    """The dense one-hot eval path must match the gather path exactly,
+    including out-of-range clamping and duration gradients."""
+    times, head, tail, wps = _problem(n=5, seed=9)
+    traj = minco.solve(times, head, tail, wps)
+    total = float(jnp.sum(times))
+    ts = jnp.asarray(np.r_[np.linspace(-0.5, total + 0.5, 97),
+                           np.cumsum(np.asarray(times))])
+    for order in range(5):
+        a = trj.eval_at(traj, ts, order)
+        b = trj.eval_at_gather(traj, ts, order)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, err_msg=f"order {order}")
+
+    def f_dense(T):
+        tr = minco.solve(T, head, tail, wps)
+        return jnp.sum(trj.eval_at(tr, ts, 0) ** 2)
+
+    def f_gather(T):
+        tr = minco.solve(T, head, tail, wps)
+        return jnp.sum(trj.eval_at_gather(tr, ts, 0) ** 2)
+
+    g1 = jax.grad(f_dense)(times)
+    g2 = jax.grad(f_gather)(times)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-7)
