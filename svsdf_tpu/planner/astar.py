@@ -58,7 +58,14 @@ def search(grid: GridMap, feas: np.ndarray, trans_feas: Optional[np.ndarray],
         trans_feas = np.asarray(trans_feas)
     X, Y = feas.shape[1], feas.shape[2]
 
-    if not (grid.in_map(start_w) and grid.in_map(goal_w)):
+    # SE(2) search: only the xy footprint must be in-map (the z slot of
+    # start/goal carries yaw downstream, plan_manager.cpp:109-111)
+    def _in_xy(p):
+        hi = grid.xyz_min[:2] + np.asarray(grid.size[:2]) * grid.resolution
+        return bool(np.all(np.asarray(p)[:2] >= grid.xyz_min[:2])
+                    and np.all(np.asarray(p)[:2] <= hi))
+
+    if not (_in_xy(start_w) and _in_xy(goal_w)):
         return AstarResult(False, np.zeros((0, 3)), np.zeros(0, int), 0)
 
     si = grid.grid_index(start_w)[:2]

@@ -1,0 +1,145 @@
+"""End-to-end planner tests on a synthetic scenario plus aux subsystems
+(traj server, swept surface extraction, debug bus, flatness)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from svsdf_tpu.models import shapes
+from svsdf_tpu.ops import flatness
+from svsdf_tpu.ops.svsdf import SVSDFConfig, svsdf_query
+from svsdf_tpu.planner import traj_server
+from svsdf_tpu.planner.pipeline import Planner
+from svsdf_tpu.utils.config import PlannerConfig
+from svsdf_tpu.utils.debugbus import DebugBus
+from svsdf_tpu.viz import swept_surface
+
+
+def _scenario():
+    """Small corridor map + circle robot."""
+    pts = []
+    for x in range(24):
+        for z in range(2):
+            if not (10 <= x <= 13):
+                pts.append((x + 0.5, 7.2, z + 0.5))   # wall with gap
+    pts += [(0.05, 0.05, 0.05), (23.9, 15.9, 1.9)]
+    cfg = PlannerConfig(inputdata="shapes/Circle.obj",
+                        kernel_size=7, kernel_yaw_num=4,
+                        occupancy_resolution=1.0, safety_hor=0.4,
+                        inittime=1.5)
+    return cfg, np.asarray(pts)
+
+
+def test_full_pipeline_synthetic():
+    cfg, pts = _scenario()
+    svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=4,
+                      gsip_coarse_n=48, gsip_refine_rounds=1)
+    pl = Planner(cfg, pts, svs_cfg=svs)
+    res = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
+                  mid_iters=60, back_iters=120)
+    assert res.success
+    # endpoints
+    from svsdf_tpu.utils import trajectory as trj
+    p0 = np.asarray(trj.pos(res.traj, 0.0))
+    pT = np.asarray(trj.pos(res.traj,
+                            float(res.traj.total_duration) - 1e-6))
+    # endpoints snap to grid cube centers (front_end_Astar.hpp:265-266)
+    np.testing.assert_allclose(p0[:2], res.astar_path[0][:2], atol=1e-4)
+    np.testing.assert_allclose(pT[:2], res.astar_path[-1][:2], atol=1e-4)
+    np.testing.assert_allclose(p0[:2], [3.5, 3.5], atol=0.51)
+    np.testing.assert_allclose(pT[:2], [20.5, 12.5], atol=0.51)
+    # collision-free swept volume over the harvested obstacle set
+    q = svsdf_query(pl.shape, res.traj,
+                    jnp.asarray(res.obstacles[:, :2]), svs)
+    assert float(q.sdf.min()) > 0.0
+    # back end must not be worse than the warm start on its own cost
+    assert res.final_cost <= res.mid_cost * 5  # sanity (different costs)
+
+
+def test_traj_server_commands():
+    cfg, pts = _scenario()
+    pl = Planner(cfg, pts, use_transition_check=False)
+    res = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
+                  mid_iters=30, back_iters=40)
+    stream = traj_server.sample_commands(res.traj)
+    assert stream.pos.shape[0] == stream.yaw.shape[0]
+    # command rate: ~100 Hz over the duration
+    total = float(res.traj.total_duration)
+    assert abs(stream.pos.shape[0] - total * 100.0) < 3
+    # yaw rate limited
+    assert float(jnp.max(jnp.abs(stream.yaw_rate))) <= 2 * np.pi + 1e-6
+    # positions continuous
+    d = np.linalg.norm(np.diff(np.asarray(stream.pos[:, :2]), axis=0),
+                       axis=1)
+    assert d.max() < 0.5
+
+
+def test_swept_surface_circle_line():
+    """Translating circle -> stadium; boundary points must sit at
+    distance ~1 from the segment."""
+    from svsdf_tpu.ops import minco
+    shape = shapes.make_shape("Circle")
+    n = 3
+    head = jnp.array([[0.0, 0.0, 0.0], [0.0] * 3, [0.0] * 3])
+    tail = jnp.array([[6.0, 0.0, 0.0], [0.0] * 3, [0.0] * 3])
+    wps = jnp.array([[2.0, 0.0, 0.0], [4.0, 0.0, 0.0]])
+    traj = minco.solve(jnp.ones(n) * 2.0, head, tail, wps)
+    segs = swept_surface.extract_swept_boundary(
+        shape, traj, (-3, 9, -3, 3), eps=0.25)
+    assert len(segs) > 20
+    for (a, b) in segs[::5]:
+        for p in (a, b):
+            px = min(max(p[0], 0.0), 6.0)
+            d = np.hypot(p[0] - px, p[1])
+            assert abs(d - 1.0) < 0.15, p
+
+
+def test_swept_obj_export(tmp_path):
+    segs = [(np.array([0.0, 0.0]), np.array([1.0, 0.0])),
+            (np.array([1.0, 0.0]), np.array([1.0, 1.0]))]
+    out = tmp_path / "sv.obj"
+    nv, nf = swept_surface.write_swept_obj(segs, str(out))
+    assert nv == 8 and nf == 4
+    assert out.read_text().startswith("v ")
+
+
+def test_debug_bus(tmp_path):
+    bus = DebugBus()
+    bus.send("back_end", "start", scenario="sdHeart")
+    for i in range(5):
+        bus.log_scalar("cost", 100.0 / (i + 1), step=i)
+    with bus.section("svsdf"):
+        pass
+    out = tmp_path / "log.jsonl"
+    bus.dump_jsonl(str(out))
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 7
+    assert "cost" in bus.summary()
+
+
+def test_flatness_hover():
+    """At hover (zero vel/acc/jerk): thrust = m*g, identity attitude,
+    zero body rates (flatness.hpp:54-135 sanity)."""
+    p = flatness.FlatnessParams()
+    thr, quat, omg = flatness.forward(
+        jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), 0.0, 0.0, p)
+    np.testing.assert_allclose(float(thr), p.mass * p.grav, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(quat), [1, 0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(omg), np.zeros(3), atol=1e-8)
+
+
+def test_flatness_grad_finite():
+    p = flatness.FlatnessParams()
+
+    def f(v):
+        thr, quat, omg = flatness.forward(
+            v, jnp.array([1.0, 0.5, 0.2]), jnp.array([0.1, 0.0, 0.3]),
+            0.0, 0.0, p)
+        return thr + jnp.sum(quat ** 2) + jnp.sum(omg ** 2)
+
+    g = jax.grad(f)(jnp.array([2.0, -1.0, 0.5]))
+    assert np.isfinite(np.asarray(g)).all()
+    eps = 1e-6
+    fd = (f(jnp.array([2.0 + eps, -1.0, 0.5]))
+          - f(jnp.array([2.0 - eps, -1.0, 0.5]))) / (2 * eps)
+    np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-4)
