@@ -393,8 +393,16 @@ def make_shape(name: str,
 def shape_from_objpath(objpath: str,
                        poly_params: Sequence[float] = (0.0, 0.0, 0.0)
                        ) -> Shape2D:
-    """Select the analytic shape from the config `inputdata` obj path,
-    mirroring initShapeByString (`sw_manager.hpp:350-373`)."""
+    """Select the shape from the config `inputdata` obj path, mirroring
+    initShapeByString (`sw_manager.hpp:350-373`): a known analytic name
+    wins; otherwise, if the .obj exists, fall back to the mesh-SDF path
+    (the reference's BasicShape igl mesh SDF, `Shape.hpp:332-340`) —
+    here a host-precomputed planar SDF grid sampled on device."""
+    import os
+
     stem = objpath.rsplit("/", 1)[-1]
     stem = stem[:-4] if stem.endswith(".obj") else stem
+    if stem not in _REGISTRY and os.path.isfile(objpath):
+        from svsdf_tpu.models.mesh_sdf import shape_from_mesh
+        return shape_from_mesh(objpath, poly_params=poly_params)
     return make_shape(stem, poly_params=poly_params)

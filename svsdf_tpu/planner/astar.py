@@ -42,7 +42,8 @@ class AstarResult(NamedTuple):
 def search(grid: GridMap, feas: np.ndarray, trans_feas: Optional[np.ndarray],
            start_w, goal_w, yaw_num: int,
            max_expansions: int = 2_000_000,
-           yaw_change_weight: float = 0.1) -> AstarResult:
+           yaw_change_weight: float = 0.1,
+           use_native: Optional[bool] = None) -> AstarResult:
     """feas: (K, X, Y) bool from ops.kernels.feasibility_maps;
     trans_feas: (K, D, 8, X, Y) bool from transition_feasibility (or
     None to skip the sub-sweep veto).
@@ -52,7 +53,19 @@ def search(grid: GridMap, feas: np.ndarray, trans_feas: Optional[np.ndarray],
     returns 0; a nonzero value discourages wild yaw swings between
     adjacent cells, which keeps the continuous swept warm start
     feasible). The heuristic ignores yaw, so admissibility holds.
+
+    use_native: route the search loop through the C++ runtime
+    (native/runtime.cpp svsdf_astar — same semantics, ~2 orders of
+    magnitude faster on large grids); None = auto if built. The Python
+    loop below is the fallback and the oracle the native path is
+    tested against.
     """
+    from svsdf_tpu import native
+    if use_native is None:
+        use_native = native.available()
+    if use_native and native.available():
+        return _search_native(grid, feas, trans_feas, start_w, goal_w,
+                              yaw_num, max_expansions, yaw_change_weight)
     feas = np.asarray(feas)
     if trans_feas is not None:
         trans_feas = np.asarray(trans_feas)
@@ -149,22 +162,42 @@ def search(grid: GridMap, feas: np.ndarray, trans_feas: Optional[np.ndarray],
                        expansions)
 
 
-def _backtrack(grid, parent, yaw_bins, cur, yaw_num, expansions):
-    cells = [cur]
-    while tuple(parent[cells[-1]]) != (-1, -1):
-        cells.append(tuple(parent[cells[-1]]))
-    cells.reverse()
-    path = np.zeros((len(cells), 3))
-    bins = np.zeros(len(cells), dtype=int)
-    # Unwrap yaw along the path (short-arc accumulation): yaw is an R^3
-    # spline coordinate downstream, so consecutive values must differ
-    # by the physical rotation, not jump across the +-pi seam. (The
-    # reference emits raw bin yaws, front_end_Astar.hpp:380-382.)
-    yaw = 0.0  # the start node keeps yaw = 0.0 (front_end_Astar.hpp:293)
-    prev_b = int(yaw_bins[cells[0]])
-    for i, c in enumerate(cells):
-        center = grid.cube_center((c[0], c[1], 0))
-        b = int(yaw_bins[c])
+def _search_native(grid, feas, trans_feas, start_w, goal_w, yaw_num,
+                   max_expansions, yaw_change_weight) -> AstarResult:
+    from svsdf_tpu import native
+
+    feas = np.asarray(feas)
+    hi = grid.xyz_min[:2] + np.asarray(grid.size[:2]) * grid.resolution
+    for p in (start_w, goal_w):
+        q = np.asarray(p)[:2]
+        if not (np.all(q >= grid.xyz_min[:2]) and np.all(q <= hi)):
+            return AstarResult(False, np.zeros((0, 3)), np.zeros(0, int),
+                               0)
+    si = grid.grid_index(start_w)[:2]
+    gi = grid.grid_index(goal_w)[:2]
+    cells, expansions = native.astar(
+        feas, trans_feas, grid.occ2d, si, gi, yaw_bin(yaw_num, 0.0),
+        np.asarray(YAW_BFS_DELTAS, np.int32), yaw_change_weight,
+        max_expansions)
+    if cells is None:
+        return AstarResult(False, np.zeros((0, 3)), np.zeros(0, int),
+                           expansions)
+    return _emit_path(grid, cells[:, :2], cells[:, 2], yaw_num,
+                      expansions)
+
+
+def _emit_path(grid, cells_ij, cell_bins, yaw_num, expansions
+               ) -> AstarResult:
+    """Cells + per-cell yaw bins -> world path with unwrapped yaw."""
+    L = len(cells_ij)
+    path = np.zeros((L, 3))
+    bins = np.zeros(L, dtype=int)
+    yaw = 0.0
+    prev_b = int(cell_bins[0])
+    for i in range(L):
+        center = grid.cube_center((int(cells_ij[i][0]),
+                                   int(cells_ij[i][1]), 0))
+        b = int(cell_bins[i])
         dbin = (b - prev_b + yaw_num // 2) % yaw_num - yaw_num // 2
         yaw += dbin * (2.0 * math.pi / yaw_num)
         path[i, :2] = center[:2]
@@ -172,3 +205,17 @@ def _backtrack(grid, parent, yaw_bins, cur, yaw_num, expansions):
         bins[i] = b
         prev_b = b
     return AstarResult(True, path, bins, expansions)
+
+
+def _backtrack(grid, parent, yaw_bins, cur, yaw_num, expansions):
+    # Yaw along the path is unwrapped by _emit_path (short-arc
+    # accumulation): yaw is an R^3 spline coordinate downstream, so
+    # consecutive values must differ by the physical rotation, not jump
+    # across the +-pi seam. (The reference emits raw bin yaws,
+    # front_end_Astar.hpp:380-382; start keeps yaw = 0.0, :293.)
+    cells = [cur]
+    while tuple(parent[cells[-1]]) != (-1, -1):
+        cells.append(tuple(parent[cells[-1]]))
+    cells.reverse()
+    bins = np.asarray([int(yaw_bins[c]) for c in cells])
+    return _emit_path(grid, np.asarray(cells), bins, yaw_num, expansions)

@@ -38,6 +38,12 @@ class GridMap:
         xyz_max = points.max(axis=0)
         shape = np.maximum(
             np.ceil((xyz_max - xyz_min) / resolution).astype(int), 1)
+        from svsdf_tpu import native
+        if native.available():
+            occ = native.voxelize(points, xyz_min, resolution,
+                                  tuple(shape), sta_threshold)
+            return cls(resolution=float(resolution), xyz_min=xyz_min,
+                       occ=occ.astype(np.uint8))
         idx = np.floor((points - xyz_min) / resolution).astype(int)
         idx = np.clip(idx, 0, shape - 1)
         counts = np.zeros(shape, dtype=np.int32)

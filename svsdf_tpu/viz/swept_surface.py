@@ -51,6 +51,19 @@ def marching_squares(xs, ys, field, level: float = 0.0
     Returns a list of ((x0, y0), (x1, y1)) segments with linear
     interpolation along cell edges (the 2-D analogue of the
     igl::marching_cubes call at sw_calculate.hpp:125)."""
+    from svsdf_tpu import native
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    # The native kernel assumes one shared uniform step for both axes.
+    uniform = (len(xs) > 1 and len(ys) > 1
+               and np.allclose(np.diff(xs), xs[1] - xs[0])
+               and np.allclose(np.diff(ys), ys[1] - ys[0])
+               and np.isclose(ys[1] - ys[0], xs[1] - xs[0]))
+    if native.available() and uniform:
+        segs_arr = native.marching_squares(
+            np.asarray(field) - level, float(xs[0]), float(ys[0]),
+            float(xs[1] - xs[0]), 0.0)
+        return [(s[0], s[1]) for s in segs_arr]
     f = field - level
     segs = []
     nx, ny = f.shape
