@@ -17,6 +17,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _enable_comp_cache():
+    """Persistent compilation cache — repeat runs (and the driver's
+    repeated bench invocations) skip the slow remote TPU recompiles."""
+    import os as _os
+    import jax as _jax
+    _os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir",
+                       "/root/.cache/jax_comp")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_comp_cache()
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -61,15 +75,22 @@ def bench_plans(n_pieces=8, n_obs=64, iters=50):
         try:
             head, tail, obs, x0 = _problem(n_pieces, n_obs, batch)
             probs = BackEndProblem(head, tail, obs)
-            run = lambda: pbatch.plan_batch(shape, x0, probs, cfg,
-                                            svs_cfg, n_pieces, iters)
-            out = run()              # compile + first run
-            out.cost.block_until_ready()
+            run = lambda xx: pbatch.plan_batch(shape, xx, probs, cfg,
+                                               svs_cfg, n_pieces, iters)
+            # NOTE measurement hygiene (learned on the axon backend):
+            # identical re-executions can be served from a result cache
+            # and async dispatch can make block_until_ready return at
+            # enqueue — so every rep gets unique inputs and the timer
+            # is closed by a host readback of a device reduction.
+            out = run(x0)            # compile + first run
+            float(out.cost.sum())
             t0 = time.perf_counter()
             reps = 3
-            for _ in range(reps):
-                out = run()
-                out.cost.block_until_ready()
+            acc = 0.0
+            for i in range(reps):
+                out = run(x0 + np.float32((i + 1) * 1e-5))
+                acc = acc + out.cost.sum()
+            float(acc)               # one readback syncs all reps
             dt = (time.perf_counter() - t0) / reps
             return batch / dt, dt, batch
         except Exception as e:                     # noqa: BLE001
@@ -101,12 +122,13 @@ def bench_grid_queries(grid=256, coarse_n=256):
 
     fn = jax.jit(lambda p: svsdf_query(shape, traj, p, svs_cfg,
                                        with_inside=False).sdf)
-    out = fn(pts)
-    out.block_until_ready()
+    float(fn(pts).sum())             # compile + first run
     t0 = time.perf_counter()
     reps = 5
-    for _ in range(reps):
-        fn(pts).block_until_ready()
+    acc = 0.0
+    for i in range(reps):             # unique inputs per rep (see above)
+        acc = acc + fn(pts + np.float32((i + 1) * 1e-5)).sum()
+    float(acc)
     dt = (time.perf_counter() - t0) / reps
     return pts.shape[0] / dt, dt
 

@@ -1,0 +1,101 @@
+"""Reference-scenario regression harness.
+
+The reference's de facto regression suite is its 13 shape scenarios
+(SURVEY.md §4: launch/config/pcds fixture triples, replayed by hand).
+This runner replays them end-to-end through the framework and records,
+per scenario: plan success, mid/back-end costs, a collision-free
+certificate (min SVSDF over the harvested obstacle set and over a
+dense map-wide obstacle sample), and stage timings.
+
+Usage:
+    python scripts/run_scenarios.py                 # all scenarios
+    python scripts/run_scenarios.py sdHeart star    # subset
+    JAX_PLATFORMS=cpu python scripts/run_scenarios.py   # force CPU
+
+Writes scenario_results.json in the CWD and prints one summary line
+per scenario.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_one(name: str) -> dict:
+    import jax.numpy as jnp
+    from svsdf_tpu.ops.svsdf import SVSDFConfig, svsdf_query
+    from svsdf_tpu.planner.pipeline import Planner
+    from svsdf_tpu.utils import fixtures
+    from svsdf_tpu.utils import trajectory as trj
+
+    rec = {"name": name}
+    t0 = time.time()
+    sc = fixtures.load_scenario(name)
+    svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
+                      gsip_coarse_n=64, gsip_refine_rounds=1)
+    try:
+        planner = Planner(sc.config, sc.map_points, svs_cfg=svs)
+        rec["build_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        res = planner.plan(sc.start, sc.goal)
+        rec["plan_s"] = round(time.time() - t0, 1)
+        rec["success"] = bool(res.success)
+        if not res.success:
+            return rec
+        rec["astar_len"] = int(len(res.astar_path))
+        rec["mid_cost"] = float(res.mid_cost)
+        rec["final_cost"] = float(res.final_cost)
+        total = float(res.traj.total_duration)
+        rec["duration_s"] = round(total, 2)
+        pT = np.asarray(trj.pos(res.traj, total - 1e-6))[:2]
+        rec["goal_err_m"] = round(float(np.linalg.norm(
+            pT - res.astar_path[-1][:2])), 4)
+        # certificate 1: harvested obstacle set
+        if len(res.obstacles):
+            q = svsdf_query(planner.shape, res.traj,
+                            jnp.asarray(res.obstacles[:, :2]), svs)
+            rec["min_svsdf_harvest"] = round(float(q.sdf.min()), 4)
+        # certificate 2: every occupied voxel center in the 2-D slice
+        occ = planner.grid.occ2d
+        ii, jj = np.nonzero(occ)
+        pts = np.stack([
+            planner.grid.xyz_min[0] + (ii + 0.5) * planner.grid.resolution,
+            planner.grid.xyz_min[1] + (jj + 0.5) * planner.grid.resolution,
+        ], axis=-1)
+        if len(pts):
+            chunk = 4096
+            mins = []
+            for s in range(0, len(pts), chunk):
+                q = svsdf_query(planner.shape, res.traj,
+                                jnp.asarray(pts[s:s + chunk], jnp.float32),
+                                svs, with_inside=False)
+                mins.append(float(q.sdf.min()))
+            rec["min_svsdf_map"] = round(min(mins), 4)
+    except Exception as e:                             # noqa: BLE001
+        rec["success"] = False
+        rec["error"] = f"{type(e).__name__}: {e}"
+    return rec
+
+
+def main():
+    from svsdf_tpu.utils import fixtures
+
+    names = sys.argv[1:] or fixtures.list_scenarios()
+    out = []
+    for name in names:
+        rec = run_one(name)
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+        with open("scenario_results.json", "w") as f:
+            json.dump(out, f, indent=1)
+    n_ok = sum(1 for r in out if r.get("success"))
+    print(f"# {n_ok}/{len(out)} scenarios succeeded", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -193,10 +193,10 @@ class GridSDF2D:
         return jnp.asarray(np.asarray(self.values).reshape(self.nx,
                                                            self.ny))
 
-    def sdf(self, p):
+    def sdf_xy(self, px, py):
         f = self.field
-        gx = (p[..., 0] - self.x0) / self.step
-        gy = (p[..., 1] - self.y0) / self.step
+        gx = (px - self.x0) / self.step
+        gy = (py - self.y0) / self.step
         # outside the grid: fall back to distance-to-grid-border plus
         # the border value (keeps the field 1-Lipschitz-ish far away)
         gx_c = jnp.clip(gx, 0.0, self.nx - 1.001)
@@ -219,6 +219,9 @@ class GridSDF2D:
                                         jnp.sqrt(jnp.where(d2 > 0.0, d2,
                                                            1.0)), 0.0)
         return v + outside
+
+    def sdf(self, p):
+        return self.sdf_xy(p[..., 0], p[..., 1])
 
 
 def shape_from_mesh(objpath: str, resolution: float = 0.05,
@@ -251,5 +254,5 @@ def shape_from_mesh(objpath: str, resolution: float = 0.05,
                      nx=nx, ny=ny)
     tx, ty, yaw_deg = (list(poly_params) + [0.0] * 3)[:3]
     name = objpath.rsplit("/", 1)[-1].removesuffix(".obj")
-    return Shape2D(name=f"mesh:{name}", body_sdf=grid.sdf,
+    return Shape2D(name=f"mesh:{name}", body_sdf=grid.sdf_xy,
                    tx=tx, ty=ty, yaw0=yaw_deg * np.pi / 180.0)

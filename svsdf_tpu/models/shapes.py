@@ -2,19 +2,26 @@
 
 TPU-native re-design of the reference shape layer
 (`src/utils/include/utils/Shape.hpp:433-1572`): every robot shape is a
-*pure, branchless* JAX function ``body_sdf(p) -> sdf`` over arbitrarily
-batched 2D points, so it can be `vmap`-ed over (query point x time x
-scenario) grids and differentiated *exactly* with `jax.grad` — replacing
-the reference's 1e-6 central finite differences
-(`Shape.hpp:34-78`, macro DEFINE_USEFUL_FUNCTION).
+*pure, branchless* JAX function ``body_sdf(px, py) -> sdf`` over
+arbitrarily batched coordinate planes, so it can be `vmap`-ed over
+(query point x time x scenario) grids and differentiated *exactly*
+with `jax.grad` — replacing the reference's 1e-6 central finite
+differences (`Shape.hpp:34-78`, macro DEFINE_USEFUL_FUNCTION).
+
+The xy-form (separate coordinate arrays, no packed (..., 2) points) is
+deliberate TPU hygiene: a trailing axis of 2 fills 2 of 128 vector
+lanes and forces relayouts in Pallas kernels; with xy-form every
+intermediate keeps the caller's full tile shape, so the same SDF code
+runs at full VPU width inside ops/pallas_svsdf.py and under plain XLA.
+The packed-point convenience API survives on Shape2D (`sdf(p)`).
 
 Shape parameter values mirror the reference subclasses bit-for-bit
 (including its idiosyncratic radian constants like cos(20.5), cos(43))
 so that planned trajectories are comparable. The config `poly_params`
-pre-transform (x, y, yaw-degrees; `Shape.hpp:284-301`) is applied inside
-`Shape2D.sdf`, matching `getonlySDF(pos_rel)` semantics: the planner
-hands in robot-frame points and the shape applies its own fixed
-pre-transform.
+pre-transform (x, y, yaw-degrees; `Shape.hpp:284-301`) is applied
+inside `Shape2D.sdf`, matching `getonlySDF(pos_rel)` semantics: the
+planner hands in robot-frame points and the shape applies its own
+fixed pre-transform.
 
 All `jnp.where` branches are guarded so gradients stay finite at
 branch boundaries (no NaNs from sqrt(0) in unselected branches).
@@ -33,7 +40,7 @@ PI = math.pi
 
 
 # ---------------------------------------------------------------------------
-# numerics helpers
+# numerics helpers (scalar/plane form — no packed vectors)
 # ---------------------------------------------------------------------------
 
 def _safe_sqrt(x):
@@ -42,16 +49,14 @@ def _safe_sqrt(x):
     return jnp.where(x > 0.0, jnp.sqrt(safe), 0.0)
 
 
-def _norm(v, axis=-1):
-    return _safe_sqrt(jnp.sum(v * v, axis=axis))
+def _norm2(x, y):
+    """|(x, y)| with a safe gradient at the origin."""
+    return _safe_sqrt(x * x + y * y)
 
 
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
-
-
-def _dot2(v):
-    return jnp.sum(v * v, axis=-1)
+def _dot22(x, y):
+    """|(x, y)|^2."""
+    return x * x + y * y
 
 
 def _sign_pm(x):
@@ -64,38 +69,38 @@ def _clip(x, lo, hi):
 
 
 def _vec(x, y):
+    """Pack planes into (..., 2) — only for the packed-point API edge."""
     return jnp.stack([x, y], axis=-1)
 
 
 # ---------------------------------------------------------------------------
 # body-frame SDFs (one function per reference shape class)
-# Each takes p of shape (..., 2) and returns (...).
+# Each takes coordinate planes (px, py) of equal shape and returns the
+# same shape.
 # ---------------------------------------------------------------------------
 
-def sd_circle(p, r=1.0):
+def sd_circle(px, py, r=1.0):
     """Shape.hpp:433 (Circle, radius 1)."""
-    return _norm(p) - r
+    return _norm2(px, py) - r
 
 
-def sd_uneven_capsule(p, r1=2.0, r2=1.0, h=5.0):
+def sd_uneven_capsule(px, py, r1=2.0, r2=1.0, h=5.0):
     """Shape.hpp:513 (sdUnevenCapsule)."""
-    px = jnp.abs(p[..., 0])
-    py = p[..., 1]
+    px = jnp.abs(px)
     b = (r1 - r2) / h
     a = math.sqrt(1.0 - b * b)
     k = -b * px + a * py
-    d_low = _norm(_vec(px, py)) - r1
-    d_high = _norm(_vec(px, py - h)) - r2
+    d_low = _norm2(px, py) - r1
+    d_high = _norm2(px, py - h) - r2
     d_mid = a * px + b * py - r1
     return jnp.where(k < 0.0, d_low, jnp.where(k > a * h, d_high, d_mid))
 
 
-def sd_star5(p, r=2.8, rf=0.6):
+def sd_star5(px, py, r=2.8, rf=0.6):
     """Shape.hpp:562 (star; 5-pointed)."""
     k1x, k1y = 0.809016994375, -0.587785252292
     k2x, k2y = -k1x, k1y
-    px = jnp.abs(p[..., 0])
-    py = p[..., 1]
+    px = jnp.abs(px)
     d1 = 2.0 * jnp.maximum(k1x * px + k1y * py, 0.0)
     px, py = px - d1 * k1x, py - d1 * k1y
     d2 = 2.0 * jnp.maximum(k2x * px + k2y * py, 0.0)
@@ -104,67 +109,66 @@ def sd_star5(p, r=2.8, rf=0.6):
     py = py - r
     bax, bay = rf * (-k1y), rf * k1x - 1.0
     h = _clip((px * bax + py * bay) / (bax * bax + bay * bay), 0.0, r)
-    d = _norm(_vec(px - bax * h, py - bay * h))
+    d = _norm2(px - bax * h, py - bay * h)
     return d * _sign_pm(py * bax - px * bay)
 
 
-def sd_tunnel(p, wx=2.5, wy=1.5):
+def sd_tunnel(px, py, wx=2.5, wy=1.5):
     """Shape.hpp:624 (sdTunnel, wh=(2.5,1.5))."""
-    px = jnp.abs(p[..., 0])
-    py = -p[..., 1]
+    px = jnp.abs(px)
+    py = -py
     qx = px - wx
     qy = py - wy
     d1 = jnp.maximum(qx, 0.0) ** 2 + qy * qy
-    qx2 = jnp.where(py > 0.0, qx, _norm(_vec(px, py)) - wx)
+    qx2 = jnp.where(py > 0.0, qx, _norm2(px, py) - wx)
     d2 = qx2 * qx2 + jnp.maximum(qy, 0.0) ** 2
     d = _safe_sqrt(jnp.minimum(d1, d2))
     return jnp.where(jnp.maximum(qx2, qy) < 0.0, -d, d)
 
 
-def sd_cut_disk(p, r=5.0, h=2.0):
+def sd_cut_disk(px, py, r=5.0, h=2.0):
     """Shape.hpp:679 (sdCutDisk)."""
     w = math.sqrt(r * r - h * h)
-    px = jnp.abs(p[..., 0])
-    py = p[..., 1]
+    px = jnp.abs(px)
     s = jnp.maximum((h - r) * px * px + w * w * (h + r - 2.0 * py),
                     h * px - w * py)
     return jnp.where(
-        s < 0.0, _norm(p) - r,
-        jnp.where(px < w, h - py, _norm(_vec(px - w, py - h))))
+        s < 0.0, _norm2(px, py) - r,
+        jnp.where(px < w, h - py, _norm2(px - w, py - h)))
 
 
-def sd_trapezoid(p, r1=1.0, r2=3.0, he=2.0):
+def sd_trapezoid(px, py, r1=1.0, r2=3.0, he=2.0):
     """Shape.hpp:729 (sdTrapezoid)."""
-    k1 = jnp.array([r2, he])
-    k2 = jnp.array([r2 - r1, 2.0 * he])
-    px = jnp.abs(p[..., 0])
-    py = p[..., 1]
+    k1x, k1y = r2, he
+    k2x, k2y = r2 - r1, 2.0 * he
+    px = jnp.abs(px)
     cax = jnp.maximum(0.0, px - jnp.where(py < 0.0, r1, r2))
     cay = jnp.abs(py) - he
-    pv = _vec(px, py)
-    t = _clip(_dot(k1 - pv, k2) / _dot2(k2), 0.0, 1.0)
-    cb = pv - k1 + k2 * t[..., None]
-    s = jnp.where((cb[..., 0] < 0.0) & (cay < 0.0), -1.0, 1.0)
-    return s * _safe_sqrt(jnp.minimum(cax * cax + cay * cay, _dot2(cb)))
+    t = _clip(((k1x - px) * k2x + (k1y - py) * k2y)
+              / (k2x * k2x + k2y * k2y), 0.0, 1.0)
+    cbx = px - k1x + k2x * t
+    cby = py - k1y + k2y * t
+    s = jnp.where((cbx < 0.0) & (cay < 0.0), -1.0, 1.0)
+    return s * _safe_sqrt(jnp.minimum(cax * cax + cay * cay,
+                                      _dot22(cbx, cby)))
 
 
-def sd_rhombus(p, bx=1.0, by=4.5):
+def sd_rhombus(px, py, bx=1.0, by=4.5):
     """Shape.hpp:786 (sdRhombus, b=(1.0,4.5))."""
-    px = jnp.abs(p[..., 0])
-    py = jnp.abs(p[..., 1])
+    px = jnp.abs(px)
+    py = jnp.abs(py)
     # ndot(b - 2p, b) = (bx-2px)*bx - (by-2py)*by
     h = _clip(((bx - 2.0 * px) * bx - (by - 2.0 * py) * by) /
               (bx * bx + by * by), -1.0, 1.0)
-    d = _norm(_vec(px - 0.5 * bx * (1.0 - h), py - 0.5 * by * (1.0 + h)))
+    d = _norm2(px - 0.5 * bx * (1.0 - h), py - 0.5 * by * (1.0 + h))
     return d * jnp.where(px * by + py * bx - bx * by < 0.0, -1.0, 1.0)
 
 
-def sd_horseshoe(p, r=1.5, cx=math.cos(20.5), cy=math.sin(20.5),
+def sd_horseshoe(px, py, r=1.5, cx=math.cos(20.5), cy=math.sin(20.5),
                  wx=1.55, wy=0.20):
     """Shape.hpp:850 (sdHorseshoe; c uses radians-of-20.5 like the ref)."""
-    px = jnp.abs(p[..., 0])
-    py = p[..., 1]
-    l = _norm(_vec(px, py))
+    px = jnp.abs(px)
+    l = _norm2(px, py)
     rx = -cx * px + cy * py
     ry = cy * px + cx * py
     sgn = math.copysign(1.0, -cx)
@@ -172,125 +176,130 @@ def sd_horseshoe(p, r=1.5, cx=math.cos(20.5), cy=math.sin(20.5),
     y1 = jnp.where(rx <= 0.0, l, ry)
     x2 = x1 - wx
     y2 = jnp.abs(y1 - r) - wy
-    return (_norm(_vec(jnp.maximum(x2, 0.0), jnp.maximum(y2, 0.0)))
+    return (_norm2(jnp.maximum(x2, 0.0), jnp.maximum(y2, 0.0))
             + jnp.minimum(0.0, jnp.maximum(x2, y2)))
 
 
-def sd_heart(p, scale=4.0):
+def sd_heart(px, py, scale=4.0):
     """Shape.hpp:919 (sdHeart, uniformly scaled x4)."""
-    px = jnp.abs(p[..., 0]) / scale
-    py = p[..., 1] / scale
-    top = _norm(_vec(px - 0.25, py - 0.75)) - math.sqrt(2.0) / 4.0
-    v1 = _dot2(_vec(px, py - 1.0))
+    px = jnp.abs(px) / scale
+    py = py / scale
+    top = _norm2(px - 0.25, py - 0.75) - math.sqrt(2.0) / 4.0
+    v1 = _dot22(px, py - 1.0)
     m = jnp.maximum(px + py, 0.0)
-    v2 = _dot2(_vec(px - 0.5 * m, py - 0.5 * m))
+    v2 = _dot22(px - 0.5 * m, py - 0.5 * m)
     bottom = _safe_sqrt(jnp.minimum(v1, v2)) * _sign_pm(px - py)
     return scale * jnp.where(px + py > 1.0, top, bottom)
 
 
-def sd_rounded_x(p, w=3.0, r=0.25):
+def sd_rounded_x(px, py, w=3.0, r=0.25):
     """Shape.hpp:971 (sdRoundedX)."""
-    ax = jnp.abs(p[..., 0])
-    ay = jnp.abs(p[..., 1])
+    ax = jnp.abs(px)
+    ay = jnp.abs(py)
     m = jnp.where(ax + ay > w, 0.5 * w, 0.5 * (ax + ay))
-    return _norm(_vec(ax - m, ay - m)) - r
+    return _norm2(ax - m, ay - m) - r
 
 
-def sd_big_x(p, w=5.0, r=0.25):
+def sd_big_x(px, py, w=5.0, r=0.25):
     """Shape.hpp:1007 (bigX)."""
-    return sd_rounded_x(p, w=w, r=r)
+    return sd_rounded_x(px, py, w=w, r=r)
 
 
-def sd_rounded_cross(p, h=1.0, scale=2.0):
+def sd_rounded_cross(px, py, h=1.0, scale=2.0):
     """Shape.hpp:1043 (sdRoundedCross, scaled x2)."""
     k = 0.5 * (h + 1.0 / h)
-    ax = jnp.abs(p[..., 0]) / scale
-    ay = jnp.abs(p[..., 1]) / scale
-    inner = k - _norm(_vec(ax - 1.0, ay - k))
-    outer = _safe_sqrt(jnp.minimum(_dot2(_vec(ax, ay - h)),
-                                   _dot2(_vec(ax - 1.0, ay))))
+    ax = jnp.abs(px) / scale
+    ay = jnp.abs(py) / scale
+    inner = k - _norm2(ax - 1.0, ay - k)
+    outer = _safe_sqrt(jnp.minimum(_dot22(ax, ay - h),
+                                   _dot22(ax - 1.0, ay)))
     cond = (ax < 1.0) & (ay < ax * (k - h) + h)
     return scale * jnp.where(cond, inner, outer)
 
 
-def sd_oriented_vesica(p, ax=2.0, ay=4.0, bx=-2.0, by=-4.0, w=0.8):
+def sd_oriented_vesica(px, py, ax=2.0, ay=4.0, bx=-2.0, by=-4.0, w=0.8):
     """Shape.hpp:1094 (sdOrientedVesica, a=(2,4), b=(-2,-4), w=0.8)."""
     r = 0.5 * math.hypot(bx - ax, by - ay)
     d = 0.5 * (r * r - w * w) / w
     vx, vy = (bx - ax) / r, (by - ay) / r
     cx, cy = 0.5 * (bx + ax), 0.5 * (by + ay)
-    px = p[..., 0] - cx
-    py = p[..., 1] - cy
+    px = px - cx
+    py = py - cy
     qx = 0.5 * jnp.abs(vy * px + vx * py)
     qy = 0.5 * jnp.abs(-vx * px + vy * py)
     cond = r * qx < d * (qy - r)
     hx = jnp.where(cond, 0.0, -d)
     hy = jnp.where(cond, r, 0.0)
     hz = jnp.where(cond, 0.0, d + w)
-    return _norm(_vec(qx - hx, qy - hy)) - hz
+    return _norm2(qx - hx, qy - hy) - hz
 
 
-def sd_moon(p, d=0.8, ra=3.0, rb=2.4):
+def sd_moon(px, py, d=0.8, ra=3.0, rb=2.4):
     """Shape.hpp:1184 (sdMoon)."""
-    qx = p[..., 0]
-    qy = jnp.abs(p[..., 1])
+    qx = px
+    qy = jnp.abs(py)
     a = (ra * ra - rb * rb + d * d) / (2.0 * d)
     b = math.sqrt(max(ra * ra - a * a, 0.0))
     cond = d * (qx * b - qy * a) > d * d * jnp.maximum(b - qy, 0.0)
-    d1 = _norm(_vec(qx - a, qy - b))
-    d2 = jnp.maximum(_norm(_vec(qx, qy)) - ra,
-                     -(_norm(_vec(qx - d, qy)) - rb))
+    d1 = _norm2(qx - a, qy - b)
+    d2 = jnp.maximum(_norm2(qx, qy) - ra, -(_norm2(qx - d, qy) - rb))
     return jnp.where(cond, d1, d2)
 
 
-def sd_pie(p, cx=math.cos(43.0), cy=math.sin(43.0), r=3.0):
+def sd_pie(px, py, cx=math.cos(43.0), cy=math.sin(43.0), r=3.0):
     """Shape.hpp:1232 (sdPie; c uses radians-of-43 like the ref)."""
-    px = jnp.abs(p[..., 0])
-    py = p[..., 1]
-    l = _norm(_vec(px, py)) - r
+    px = jnp.abs(px)
+    l = _norm2(px, py) - r
     t = _clip(px * cx + py * cy, 0.0, r)
-    m = _norm(_vec(px - cx * t, py - cy * t))
+    m = _norm2(px - cx * t, py - cy * t)
     return jnp.maximum(l, m * _sign_pm(cy * px - cx * py))
 
 
-def sd_pie2(p, r=3.0):
+def sd_pie2(px, py, r=3.0):
     """Shape.hpp:1273 (sdPie2; c = (cos 1, sin 1))."""
-    return sd_pie(p, cx=math.cos(1.0), cy=math.sin(1.0), r=r)
+    return sd_pie(px, py, cx=math.cos(1.0), cy=math.sin(1.0), r=r)
 
 
-def sd_arc(p, scx=math.sin(20.0), scy=math.cos(20.0), ra=2.3333, rb=0.5):
+def sd_arc(px, py, scx=math.sin(20.0), scy=math.cos(20.0), ra=2.3333,
+           rb=0.5):
     """Shape.hpp:1315 (sdArc; sc uses radians-of-20 like the ref)."""
-    px = jnp.abs(p[..., 0])
-    py = p[..., 1]
+    px = jnp.abs(px)
     cond = scy * px > scx * py
-    d1 = _norm(_vec(px - scx * ra, py - scy * ra))
-    d2 = jnp.abs(_norm(_vec(px, py)) - ra)
+    d1 = _norm2(px - scx * ra, py - scy * ra)
+    d2 = jnp.abs(_norm2(px, py) - ra)
     return jnp.where(cond, d1, d2) - rb
 
 
-def sd_polygon(p, verts):
+def sd_polygon(px, py, verts):
     """Generic simple-polygon SDF (Shape.hpp:1361-1572 Polygon class).
 
     `verts` is an (E, 2) array of CCW or CW vertices. Exact distance via
     per-edge point-segment distance; sign via the even-odd crossing rule
-    (equivalent to the reference's ray-casting isCrossRayOnXDir).
+    (equivalent to the reference's ray-casting isCrossRayOnXDir). The
+    edge loop is a static Python unroll (E is small and fixed per
+    shape), keeping every intermediate at the callers' full tile shape.
     """
     verts = jnp.asarray(verts)
-    vi = verts                      # (E, 2)
-    vj = jnp.roll(verts, 1, axis=0)  # previous vertex
-    pe = p[..., None, :]            # (..., 1, 2)
-    e = vj - vi                     # (E, 2)
-    w = pe - vi                     # (..., E, 2)
-    t = _clip(_dot(w, e) / jnp.maximum(_dot2(e), 1e-30), 0.0, 1.0)
-    b = w - e * t[..., None]
-    d2 = jnp.min(_dot2(b), axis=-1)
-    # winding parity
-    c1 = pe[..., 1] >= vi[..., 1]
-    c2 = pe[..., 1] < vj[..., 1]
-    c3 = e[..., 0] * w[..., 1] > e[..., 1] * w[..., 0]
-    flip = (c1 & c2 & c3) | (~c1 & ~c2 & ~c3)
-    s = 1.0 - 2.0 * (jnp.sum(flip, axis=-1) % 2)
-    return s * _safe_sqrt(d2)
+    e = verts.shape[0]
+    d2_min = None
+    flips = 0
+    for i in range(e):
+        vix, viy = verts[i, 0], verts[i, 1]
+        vjx, vjy = verts[i - 1, 0], verts[i - 1, 1]    # previous vertex
+        ex, ey = vjx - vix, vjy - viy
+        wx, wy = px - vix, py - viy
+        t = _clip((wx * ex + wy * ey)
+                  / jnp.maximum(ex * ex + ey * ey, 1e-30), 0.0, 1.0)
+        bx_, by_ = wx - ex * t, wy - ey * t
+        d2 = _dot22(bx_, by_)
+        d2_min = d2 if d2_min is None else jnp.minimum(d2_min, d2)
+        c1 = py >= viy
+        c2 = py < vjy
+        c3 = ex * wy > ey * wx
+        flip = (c1 & c2 & c3) | (~c1 & ~c2 & ~c3)
+        flips = flips + flip.astype(jnp.int32)
+    s = 1.0 - 2.0 * (flips % 2)
+    return s * _safe_sqrt(d2_min)
 
 
 # ---------------------------------------------------------------------------
@@ -303,27 +312,33 @@ class Shape2D:
 
     Mirrors BasicShape's transform semantics (`Shape.hpp:284-301`):
     `sdf(p)` evaluates the shape at robot-frame point p after applying
-    the fixed pre-transform q = R0^T (p - t0).
+    the fixed pre-transform q = R0^T (p - t0). `sdf_xy` is the same on
+    separate coordinate planes — the form Pallas kernels and the dense
+    device sweeps use (module docstring).
     """
 
     name: str
-    body_sdf: Callable = dataclasses.field(repr=False)
+    body_sdf: Callable = dataclasses.field(repr=False)  # (px, py) -> sdf
     tx: float = 0.0
     ty: float = 0.0
     yaw0: float = 0.0  # radians
 
-    def _pre(self, p):
-        px = p[..., 0] - self.tx
-        py = p[..., 1] - self.ty
+    def _pre(self, px, py):
+        px = px - self.tx
+        py = py - self.ty
         if self.yaw0 == 0.0:
-            return _vec(px, py)
+            return px, py
         c, s = math.cos(self.yaw0), math.sin(self.yaw0)
         # row-vector times Rotate == R^T p  (Shape.hpp:478 et al.)
-        return _vec(c * px + s * py, -s * px + c * py)
+        return c * px + s * py, -s * px + c * py
+
+    def sdf_xy(self, px, py):
+        """SDF at robot-frame coordinate planes (...,), (...,) -> (...,)."""
+        return self.body_sdf(*self._pre(px, py))
 
     def sdf(self, p):
-        """SDF at robot-frame points p (..., 2) -> (...)."""
-        return self.body_sdf(self._pre(p))
+        """SDF at packed robot-frame points p (..., 2) -> (...)."""
+        return self.sdf_xy(p[..., 0], p[..., 1])
 
     def sdf_grad(self, p):
         """(sdf, dsdf/dp) at robot-frame points, exact via jax.grad."""
@@ -331,15 +346,16 @@ class Shape2D:
         val, grad = jax.vmap(jax.value_and_grad(lambda q: self.sdf(q)))(flat)
         return val.reshape(p.shape[:-1]), grad.reshape(p.shape)
 
-    def sdf_with_rot(self, p, yaw):
+    def sdf_xy_with_rot(self, px, py, yaw):
         """SDF with an extra object rotation, matching the kernel path
         getonlySDF(pos_rel, R_obj) (`Shape.hpp:481`): R_obj^T applied
         *after* the pre-transform."""
-        q = self._pre(p)
+        qx, qy = self._pre(px, py)
         c, s = jnp.cos(yaw), jnp.sin(yaw)
-        qr = _vec(c * q[..., 0] + s * q[..., 1],
-                  -s * q[..., 0] + c * q[..., 1])
-        return self.body_sdf(qr)
+        return self.body_sdf(c * qx + s * qy, -s * qx + c * qy)
+
+    def sdf_with_rot(self, p, yaw):
+        return self.sdf_xy_with_rot(p[..., 0], p[..., 1], yaw)
 
 
 _REGISTRY: dict = {
@@ -383,7 +399,7 @@ def make_shape(name: str,
     if name == "Polygon" or name not in _REGISTRY:
         vv = jnp.asarray(vertices if vertices is not None else _FALLBACK_RECT,
                          dtype=jnp.float32)
-        body = lambda p: sd_polygon(p, vv)
+        body = lambda px, py: sd_polygon(px, py, vv)
         return Shape2D(name="Polygon", body_sdf=body, tx=tx, ty=ty,
                        yaw0=yaw_deg * PI / 180.0)
     return Shape2D(name=name, body_sdf=_REGISTRY[name], tx=tx, ty=ty,

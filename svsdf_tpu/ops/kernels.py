@@ -146,7 +146,7 @@ def transition_stencils(shape: Shape2D, yaw_num: int, resolution: float,
         # p_rel = R(yaw)^T d (posEva2Rel, sw_manager.hpp:521)
         prx = c[:, None, None] * d[..., 0] + sn[:, None, None] * d[..., 1]
         pry = -sn[:, None, None] * d[..., 0] + c[:, None, None] * d[..., 1]
-        sd = shape.sdf(jnp.stack([prx, pry], axis=-1))   # (T, s, s)
+        sd = shape.sdf_xy(prx, pry)                      # (T, s, s)
         return jnp.any(sd < 0.0, axis=0)
 
     f_d = jax.vmap(lambda fb: jax.vmap(

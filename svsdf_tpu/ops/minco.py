@@ -185,3 +185,105 @@ def energy(traj: Trajectory):
                  720.0 * jnp.sum(c5 * c4, -1) * t4 +
                  720.0 * jnp.sum(c5 * c5, -1) * t5)
     return jnp.sum(per_piece)
+
+
+# ---------------------------------------------------------------------------
+# General MINCO_S{s}NU: s = 2 (cubic, min-acc), 3 (quintic, min-jerk),
+# 4 (septic, min-snap) — the full family of minco.hpp (MINCO_S2NU :201,
+# MINCO_S3NU :397, MINCO_S4NU :658). The planner uses s=3 (the banded
+# fast path above); S2/S4 share the same vectorized-scatter assembly
+# with a dense solve (they are not on the optimizer hot path).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _index_plan_s(n: int, s: int):
+    """Scatter plan for the 2sN x 2sN C^{2s-2} continuity system."""
+    nc = 2 * s                      # coefficients per piece
+    rows, cols, piece, power, coef = [], [], [], [], []
+
+    def add(r, c, i, k, a):
+        rows.append(r); cols.append(c); piece.append(i)
+        power.append(k); coef.append(a)
+
+    def dcoef(k, order):
+        """d^order/ds^order of s^k evaluated with remaining power."""
+        a = 1.0
+        for j in range(order):
+            a *= (k - j)
+        return a
+
+    # head: derivatives 0..s-1 of piece 0 at local time 0
+    for o in range(s):
+        add(o, o, 0, 0, dcoef(o, o))
+
+    for i in range(n - 1):
+        r0 = nc * i + s
+        # high-order continuity: orders s..2s-2  (s-1 rows)
+        for idx, o in enumerate(range(s, 2 * s - 1)):
+            r = r0 + idx
+            for k in range(o, nc):
+                add(r, nc * i + k, i, k - o, dcoef(k, o))
+            add(r, nc * (i + 1) + o, i, 0, -dcoef(o, o))
+        # waypoint position row
+        r = r0 + (s - 1)
+        for k in range(nc):
+            add(r, nc * i + k, i, k, 1.0)
+        # low-order continuity: orders 0..s-1 (s rows)
+        for o in range(s):
+            r = r0 + s + o
+            for k in range(o, nc):
+                add(r, nc * i + k, i, k - o, dcoef(k, o))
+            add(r, nc * (i + 1) + o, i, 0, -dcoef(o, o))
+
+    # tail: derivatives 0..s-1 of piece n-1 at local time T
+    i = n - 1
+    for o in range(s):
+        r = nc * n - s + o
+        for k in range(o, nc):
+            add(r, nc * i + k, i, k - o, dcoef(k, o))
+
+    return (np.asarray(rows), np.asarray(cols), np.asarray(piece),
+            np.asarray(power), np.asarray(coef, dtype=np.float64))
+
+
+def solve_s(s: int, times, head, tail, waypoints) -> Trajectory:
+    """General MINCO solve of order s. head/tail: (s, D) boundary
+    derivative rows; waypoints: (N-1, D). Returns a Trajectory with
+    2s coefficients per piece."""
+    n = times.shape[0]
+    nc = 2 * s
+    d = head.shape[-1]
+    dtype = times.dtype
+    rows, cols, piece, power, coef = _index_plan_s(n, s)
+
+    tp = jnp.stack([times ** k for k in range(nc)], axis=0)
+    vals = jnp.asarray(coef, dtype=dtype) * tp[power, piece]
+    m = jnp.zeros((nc * n, nc * n), dtype=dtype)
+    m = m.at[rows, cols].add(vals)
+
+    rhs = jnp.zeros((nc * n, d), dtype=dtype)
+    rhs = rhs.at[0:s, :].set(head)
+    if n > 1:
+        rhs = rhs.at[nc * np.arange(n - 1) + s + (s - 1), :].set(waypoints)
+    rhs = rhs.at[nc * n - s:, :].set(tail)
+    c = jnp.linalg.solve(m, rhs)
+    return Trajectory(coeffs=c.reshape(n, nc, -1), durations=times)
+
+
+def energy_s(traj: Trajectory, s: int):
+    """Integral of the squared s-th derivative over the trajectory
+    (getEnergy for each MINCO family: minco.hpp:341,536,816)."""
+    nc = traj.coeffs.shape[1]
+    degs = np.arange(nc)
+    fac = np.ones(nc)
+    for j in range(s):
+        fac *= np.maximum(degs - j, 0)
+    d = traj.coeffs * jnp.asarray(fac)[None, :, None]   # s-th deriv coefs
+    d = d[:, s:, :]                                      # powers 0..nc-s-1
+    k = d.shape[1]
+    j1 = np.arange(k)[:, None]
+    j2 = np.arange(k)[None, :]
+    powers = j1 + j2 + 1
+    t = traj.durations[:, None, None] ** jnp.asarray(powers)[None]
+    gram = jnp.einsum("nid,njd->nij", d, d)
+    return jnp.sum(gram * t / jnp.asarray(powers)[None])

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -45,29 +46,23 @@ class Trajectory(NamedTuple):
         return jnp.sum(self.durations)
 
 
-def _basis(s, order: int):
-    """Time-power basis row beta_order(s): (..., 6).
+def _basis(s, order: int, nc: int = 6):
+    """Time-power basis row beta_order(s): (..., nc).
 
-    order 0..4 = pos, vel, acc, jerk, snap (mid_end.hpp:509-517).
+    beta_k = k!/(k-order)! * s^(k-order) for k >= order, else 0
+    (mid_end.hpp:509-517 writes out the nc=6 cases by hand).
     """
+    if not 0 <= order < nc:
+        raise ValueError(order)
     z = jnp.zeros_like(s)
     o = jnp.ones_like(s)
-    s2 = s * s
-    s3 = s2 * s
-    s4 = s2 * s2
-    s5 = s4 * s
-    if order == 0:
-        rows = [o, s, s2, s3, s4, s5]
-    elif order == 1:
-        rows = [z, o, 2 * s, 3 * s2, 4 * s3, 5 * s4]
-    elif order == 2:
-        rows = [z, z, 2 * o, 6 * s, 12 * s2, 20 * s3]
-    elif order == 3:
-        rows = [z, z, z, 6 * o, 24 * s, 60 * s2]
-    elif order == 4:
-        rows = [z, z, z, z, 24 * o, 120 * s]
-    else:
-        raise ValueError(order)
+    rows = [z] * order
+    for k in range(order, nc):
+        fac = 1.0
+        for j in range(order):
+            fac *= (k - j)
+        p = k - order
+        rows.append(fac * o if p == 0 else fac * s ** p)
     return jnp.stack(rows, axis=-1)
 
 
@@ -95,8 +90,8 @@ def eval_at_gather(traj: Trajectory, t, order: int = 0):
     """Evaluate via piece gather (reference semantics; kept for tests —
     gathers are slow on TPU, prefer eval_at)."""
     idx, s = locate_piece(traj.durations, t)
-    c = jnp.take(traj.coeffs, idx, axis=0)          # (..., 6, D)
-    beta = _basis(s, order)                          # (..., 6)
+    c = jnp.take(traj.coeffs, idx, axis=0)          # (..., nc, D)
+    beta = _basis(s, order, traj.coeffs.shape[1])    # (..., nc)
     return jnp.einsum("...k,...kd->...d", beta, c)
 
 
@@ -124,7 +119,7 @@ def eval_at(traj: Trajectory, t, order: int = 0):
                jnp.arange(n)).astype(traj.coeffs.dtype)   # (..., N)
     s = t[..., None] - starts                             # (..., N)
     s = jnp.clip(s, 0.0, jax.lax.stop_gradient(traj.durations))
-    beta = _basis(s, order)                               # (..., N, 6)
+    beta = _basis(s, order, traj.coeffs.shape[1])         # (..., N, nc)
     vals = jnp.einsum("...nk,nkd->...nd", beta, traj.coeffs)
     return jnp.einsum("...n,...nd->...d", one_hot, vals)
 
@@ -170,3 +165,51 @@ def world_to_body(xy, R, p_world):
     return jnp.stack([R[..., 0, 0] * d[..., 0] + R[..., 1, 0] * d[..., 1],
                       R[..., 0, 1] * d[..., 0] + R[..., 1, 1] * d[..., 1]],
                      axis=-1)
+
+
+def _piece_deriv_coeffs(coeffs: np.ndarray, order: int) -> np.ndarray:
+    """Ascending-power coefficients of the order-th derivative."""
+    c = np.asarray(coeffs, float)
+    for _ in range(order):
+        nc = c.shape[0]
+        c = c[1:] * np.arange(1, nc)[:, None]
+    return c
+
+
+def max_rate(traj: Trajectory, order: int = 1, dims=(0, 1)) -> float:
+    """Exact max |d^order p/dt^order| over the trajectory for the given
+    dims (Piece::getMaxVelRate/getMaxAccRate, trajectory.hpp:206-303:
+    stationary points of |v|^2 via polynomial root isolation — here
+    numpy companion-matrix roots on host; exact up to root polish).
+    """
+    coeffs = np.asarray(traj.coeffs, float)       # (N, nc, D)
+    durs = np.asarray(traj.durations, float)
+    best = 0.0
+    for i in range(coeffs.shape[0]):
+        d = _piece_deriv_coeffs(coeffs[i], order)[:, list(dims)]
+        # |v|^2 polynomial (ascending powers) and its derivative
+        sq = np.zeros(2 * d.shape[0] - 1)
+        for k in range(d.shape[1]):
+            sq += np.convolve(d[:, k], d[:, k])
+        dsq = sq[1:] * np.arange(1, len(sq))
+        cands = [0.0, durs[i]]
+        nz = np.nonzero(np.abs(dsq) > 1e-14)[0]
+        if len(nz):
+            dsq_t = dsq[:nz[-1] + 1]
+            if len(dsq_t) > 1:
+                roots = np.roots(dsq_t[::-1])
+                cands += [float(r.real) for r in roots
+                          if abs(r.imag) < 1e-9
+                          and 0.0 <= r.real <= durs[i]]
+        for t in cands:
+            v = np.polyval(sq[::-1], t)
+            best = max(best, float(v))
+    return float(np.sqrt(max(best, 0.0)))
+
+
+def max_vel_rate(traj: Trajectory, dims=(0, 1)) -> float:
+    return max_rate(traj, 1, dims)
+
+
+def max_acc_rate(traj: Trajectory, dims=(0, 1)) -> float:
+    return max_rate(traj, 2, dims)

@@ -146,3 +146,83 @@ def test_eval_dense_matches_gather():
     g1 = jax.grad(f_dense)(times)
     g2 = jax.grad(f_gather)(times)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-7)
+
+
+def test_minco_general_family():
+    """S2/S3/S4 via the general solver: boundary + waypoint interpolation
+    and continuity (minco.hpp MINCO_S2NU:201 / S3NU:397 / S4NU:658)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from svsdf_tpu.ops import minco
+    from svsdf_tpu.utils import trajectory as trj
+
+    n = 4
+    rng = np.random.default_rng(3)
+    times = jnp.asarray(rng.uniform(1.0, 2.0, n))
+    wps = jnp.asarray(rng.normal(0, 2, (n - 1, 3)))
+    for s in (2, 3, 4):
+        head = jnp.zeros((s, 3)).at[0].set(jnp.asarray([0.0, 0.0, 0.0]))
+        tail = jnp.zeros((s, 3)).at[0].set(jnp.asarray([5.0, 1.0, 0.5]))
+        traj = minco.solve_s(s, times, head, tail, wps)
+        assert traj.coeffs.shape == (n, 2 * s, 3)
+        # boundary interpolation
+        np.testing.assert_allclose(np.asarray(trj.pos(traj, 0.0)),
+                                   np.asarray(head[0]), atol=1e-8)
+        tot = float(traj.total_duration)
+        np.testing.assert_allclose(np.asarray(trj.pos(traj, tot)),
+                                   np.asarray(tail[0]), atol=1e-7)
+        # waypoint interpolation
+        tcum = np.cumsum(np.asarray(times))
+        for j in range(n - 1):
+            np.testing.assert_allclose(
+                np.asarray(trj.pos(traj, tcum[j])), np.asarray(wps[j]),
+                atol=1e-7)
+        # C^{2s-2} continuity at junctions
+        for j in range(n - 1):
+            for o in range(2 * s - 1):
+                a = np.asarray(trj.eval_at(traj, jnp.asarray(
+                    [tcum[j] - 1e-7]), o))[0]
+                b = np.asarray(trj.eval_at(traj, jnp.asarray(
+                    [tcum[j] + 1e-7]), o))[0]
+                np.testing.assert_allclose(a, b, atol=1e-3 * 10 ** o)
+        # energy positive, zero for a straight constant-velocity line
+        e = float(minco.energy_s(traj, s))
+        assert e >= -1e-9
+
+
+def test_minco_s3_matches_general():
+    import numpy as np
+    import jax.numpy as jnp
+    from svsdf_tpu.ops import minco
+
+    n = 5
+    rng = np.random.default_rng(0)
+    times = jnp.asarray(rng.uniform(0.8, 2.5, n))
+    head = jnp.asarray(rng.normal(0, 1, (3, 3)))
+    tail = jnp.asarray(rng.normal(0, 1, (3, 3)))
+    wps = jnp.asarray(rng.normal(0, 2, (n - 1, 3)))
+    a = minco.solve(times, head, tail, wps)
+    b = minco.solve_s(3, times, head, tail, wps)
+    np.testing.assert_allclose(np.asarray(a.coeffs),
+                               np.asarray(b.coeffs), atol=1e-6)
+    np.testing.assert_allclose(float(minco.energy(a)),
+                               float(minco.energy_s(b, 3)), rtol=1e-8)
+
+
+def test_max_rate_exact():
+    """Closed-form check: 1-D cubic with known max velocity."""
+    import numpy as np
+    import jax.numpy as jnp
+    from svsdf_tpu.utils import trajectory as trj
+
+    # p(t) = t^2 (2 - t) on [0, 1]: v = 4t - 3t^2 has its interior
+    # max at t=2/3 -> 4/3 (v(0)=0, v(1)=1)
+    coeffs = np.zeros((1, 6, 3))
+    coeffs[0, 2, 0] = 2.0
+    coeffs[0, 3, 0] = -1.0
+    traj = trj.Trajectory(jnp.asarray(coeffs), jnp.asarray([1.0]))
+    v = trj.max_vel_rate(traj, dims=(0,))
+    np.testing.assert_allclose(v, 4.0 / 3.0, rtol=1e-9)
+    # acceleration: a = 4 - 6t, endpoint max |a(0)| = 4
+    a = trj.max_acc_rate(traj, dims=(0,))
+    np.testing.assert_allclose(a, 4.0, rtol=1e-9)

@@ -1,0 +1,77 @@
+"""Pallas coarse-scan kernel vs the pure-JAX oracle (interpret mode)."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.usefixtures("_pallas_interpret")
+
+
+@pytest.fixture()
+def _pallas_interpret(monkeypatch):
+    """Interpret-mode Pallas scoped to these tests only."""
+    monkeypatch.setenv("SVSDF_PALLAS_INTERPRET", "1")
+
+import jax.numpy as jnp
+
+from svsdf_tpu.models import shapes
+from svsdf_tpu.ops import pallas_svsdf as ps
+
+
+def _case(shape_name, m, k, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = shapes.make_shape(shape_name)
+    points = jnp.asarray(rng.uniform(-6, 6, (m, 2)), jnp.float32)
+    # a wiggly pose path
+    t = np.linspace(0.0, 1.0, k)
+    xy = jnp.asarray(np.stack([8 * t - 4, 2 * np.sin(5 * t)], -1),
+                     jnp.float32)
+    yaw = jnp.asarray(2.0 * np.sin(3 * t), jnp.float32)
+    return shape, points, xy, yaw
+
+
+@pytest.mark.parametrize("shape_name", ["sdHeart", "Circle", "sdArc"])
+@pytest.mark.parametrize("m", [7, 1024, 2000])
+def test_parity(shape_name, m):
+    shape, points, xy, yaw = _case(shape_name, m, k=37)
+    mn_p, ar_p = ps.coarse_scan(shape, points, xy, yaw)
+    mn_r, ar_r = ps.coarse_scan_reference(shape, points, xy, yaw)
+    np.testing.assert_allclose(np.asarray(mn_p), np.asarray(mn_r),
+                               atol=1e-5, rtol=1e-5)
+    # argmin may differ only where two time samples tie to float noise
+    diff = np.asarray(ar_p) != np.asarray(ar_r)
+    if diff.any():
+        d = np.abs(np.asarray(mn_p) - np.asarray(mn_r))[diff]
+        assert d.max() < 1e-5
+
+
+def test_padding_is_invisible():
+    shape, points, xy, yaw = _case("sdHeart", 1, k=5)
+    mn, ar = ps.coarse_scan(shape, points, xy, yaw)
+    assert mn.shape == (1,) and ar.shape == (1,)
+    mn_r, ar_r = ps.coarse_scan_reference(shape, points, xy, yaw)
+    np.testing.assert_allclose(np.asarray(mn), np.asarray(mn_r),
+                               atol=1e-5)
+
+
+def test_svsdf_grid_pallas_matches_jax():
+    """End-to-end through svsdf_grid: kernel path vs pure-JAX path."""
+    import dataclasses
+    import jax.numpy as jnp
+    from svsdf_tpu.ops import svsdf as sv
+    from svsdf_tpu.utils import trajectory as trj
+
+    shape = shapes.make_shape("sdHeart")
+    # simple single-piece quintic trajectory
+    coeffs = np.zeros((1, 6, 3), np.float32)
+    coeffs[0, 0] = [0.0, 0.0, 0.0]
+    coeffs[0, 1] = [1.0, 0.3, 0.2]
+    traj = trj.Trajectory(jnp.asarray(coeffs), jnp.asarray([4.0]))
+    xs = jnp.linspace(-3.0, 8.0, 64)
+    ys = jnp.linspace(-4.0, 4.0, 64)
+    base = sv.SVSDFConfig(coarse_n=48, refine_rounds=1)
+    f_jax = sv.svsdf_grid(shape, traj, xs, ys,
+                          dataclasses.replace(base, use_pallas=False))
+    f_pal = sv.svsdf_grid(shape, traj, xs, ys,
+                          dataclasses.replace(base, use_pallas=True))
+    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_jax),
+                               atol=2e-4, rtol=1e-4)
