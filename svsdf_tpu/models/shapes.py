@@ -357,6 +357,73 @@ class Shape2D:
     def sdf_with_rot(self, p, yaw):
         return self.sdf_xy_with_rot(p[..., 0], p[..., 1], yaw)
 
+    #: time-varying shapes (ScaledShape) override these; the SVSDF ops
+    #: always call the _t variants so deformable robots thread through
+    #: the whole query/penalty stack for free.
+    time_varying: bool = dataclasses.field(default=False, repr=False)
+
+    def sdf_xy_t(self, px, py, t):
+        """SDF at robot-frame planes for trajectory time(s) t (ignored
+        for rigid shapes; broadcast against px/py for deformable)."""
+        del t
+        return self.sdf_xy(px, py)
+
+    def sdf_t(self, p, t):
+        return self.sdf_xy_t(p[..., 0], p[..., 1], t)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaledShape(Shape2D):
+    """Deformable (uniformly time-scaled) robot shape.
+
+    Implements the reference's shape-varying hook `getScale` /
+    `getDotScale` (`sw_manager.hpp:495-518` — the commented-out sine
+    scaling behind the `useScale` flag that drives the paper's
+    deformable-robot demos). A uniform scale s(t) transforms the SDF
+    exactly: sdf_s(p) = s * sdf(p / s). The scale derivative needed by
+    the reference's ds/dt chain rule comes from `jax.grad(scale_fn)`
+    instead of its finite differences.
+
+    `sdf_xy`/`sdf` (the time-free interface used for A* kernel
+    rasterization) evaluate at `kernel_scale` — set it to the max of
+    s(t) over the horizon for conservative front-end kernels.
+    """
+
+    scale_fn: Callable = dataclasses.field(
+        default=lambda t: jnp.ones_like(t), repr=False)   # t -> s(t) > 0
+    kernel_scale: float = 1.0
+    time_varying: bool = dataclasses.field(default=True, repr=False)
+
+    def scale(self, t):
+        return self.scale_fn(t)
+
+    def dot_scale(self, t):
+        flat = jnp.ravel(jnp.asarray(t, dtype=jnp.result_type(float)))
+        ds = jax.vmap(jax.grad(lambda u: self.scale_fn(u)))(flat)
+        return ds.reshape(jnp.shape(t))
+
+    def sdf_xy_t(self, px, py, t):
+        s = self.scale_fn(t)
+        qx, qy = self._pre(px, py)
+        return s * self.body_sdf(qx / s, qy / s)
+
+    def sdf_xy(self, px, py):
+        s = self.kernel_scale
+        qx, qy = self._pre(px, py)
+        return s * self.body_sdf(qx / s, qy / s)
+
+
+def make_scaled_shape(name: str, scale_fn: Callable,
+                      poly_params: Sequence[float] = (0.0, 0.0, 0.0),
+                      vertices: Optional[Sequence] = None,
+                      kernel_scale: float = 1.0) -> ScaledShape:
+    """Deformable variant of make_shape: same factory semantics plus a
+    jax-traceable uniform scale schedule s(t)."""
+    base = make_shape(name, poly_params=poly_params, vertices=vertices)
+    return ScaledShape(name=base.name, body_sdf=base.body_sdf,
+                       tx=base.tx, ty=base.ty, yaw0=base.yaw0,
+                       scale_fn=scale_fn, kernel_scale=kernel_scale)
+
 
 _REGISTRY: dict = {
     "Circle": sd_circle,

@@ -84,7 +84,7 @@ def sdf_at_time(shape: Shape2D, traj: trj.Trajectory, p_world, t):
     against t (...)."""
     xy, yaw, R = trj.state_se2(traj, t)
     p_rel = trj.world_to_body(xy, R, p_world)
-    return shape.sdf(p_rel)
+    return shape.sdf_t(p_rel, t)
 
 
 def _sdf_many_times(shape: Shape2D, traj, points, ts):
@@ -99,7 +99,7 @@ def _sdf_many_times(shape: Shape2D, traj, points, ts):
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     prx = c[None] * d[..., 0] + s[None] * d[..., 1]
     pry = -s[None] * d[..., 0] + c[None] * d[..., 1]
-    return shape.sdf_xy(prx, pry)
+    return shape.sdf_xy_t(prx, pry, ts[None])
 
 
 def tstar_search_batch(shape, traj, points, cfg: SVSDFConfig):
@@ -115,7 +115,8 @@ def tstar_search_batch(shape, traj, points, cfg: SVSDFConfig):
     m = points.shape[0]
     ts = jnp.linspace(0.0, total, cfg.coarse_n)
     # None = XLA path (measured faster on v5e; see SVSDFConfig.use_pallas)
-    use_pallas = bool(cfg.use_pallas) and m >= cfg.pallas_min_points
+    use_pallas = (bool(cfg.use_pallas) and m >= cfg.pallas_min_points
+                  and not getattr(shape, "time_varying", False))
     if use_pallas:
         # fused VMEM K-loop: the (M, K) SDF matrix never hits HBM
         from svsdf_tpu.ops import pallas_svsdf
@@ -169,7 +170,7 @@ def _grad_world_at(shape, traj, p, t):
     """World-frame spatial SDF gradient at (p, t): R(t) @ dsdf/dp_rel."""
     xy, yaw, R = trj.state_se2(traj, t)
     p_rel = trj.world_to_body(xy, R, p)
-    g_rel = jax.grad(lambda q: shape.sdf(q))(p_rel)
+    g_rel = jax.grad(lambda q: shape.sdf_t(q, t))(p_rel)
     return R @ g_rel
 
 
