@@ -58,8 +58,13 @@ class SVSDFConfig:
     gsip_r0: float = 10.0     # initial disk radius (sw_manager:925)
     gsip_tol: float = 0.1     # |max g| stop threshold (sw_manager:996)
     gsip_coarse_n: int = 96   # cheaper t*-search for GSIP boundary evals
-    gsip_refine_rounds: int = 2
+    gsip_refine_rounds: int = 0   # 0 = table-parabola refinement (free)
     use_inside: bool = True   # run the GSIP interior solve at all
+    #: dtype for the dense coarse scans ("bfloat16" doubles VPU
+    #: throughput on the dominant elementwise SDF work; the f32
+    #: refinement rounds restore full precision — only the bracketing
+    #: argmin comes from the low-precision pass). None = input dtype.
+    scan_dtype: str | None = None
     #: Pallas coarse-scan kernel (ops/pallas_svsdf.py). Measured on a
     #: real v5e chip (K=256, honest host-readback sync): XLA's fused
     #: min/argmin-into-producer is ~1.4-4x faster than the hand kernel
@@ -87,81 +92,142 @@ def sdf_at_time(shape: Shape2D, traj: trj.Trajectory, p_world, t):
     return shape.sdf_t(p_rel, t)
 
 
-def _sdf_many_times(shape: Shape2D, traj, points, ts):
-    """SDF of M points at K shared trajectory times: (M, K).
+class PoseTable(NamedTuple):
+    """Trajectory poses at K shared time samples — computed once and
+    reused by every query point, GSIP iteration and boundary sample
+    (the reference recomputes trajectory states per SDF call;
+    sharing this table is the single biggest TPU win)."""
+    ts: jnp.ndarray       # (K,)
+    xy: jnp.ndarray       # (K, 2)
+    cos: jnp.ndarray      # (K,)
+    sin: jnp.ndarray      # (K,)
 
-    The trajectory pose is evaluated ONCE per time sample and broadcast
-    over the query points — the memory-traffic key to the whole op
-    (a per-point pose eval would materialize (M, K, N, 6) basis
-    tensors and go HBM-bound)."""
-    xy, yaw, R = trj.state_se2(traj, ts)          # (K, 2), (K,), (K,2,2)
-    d = points[:, None, :] - xy[None]             # (M, K, 2)
-    c, s = jnp.cos(yaw), jnp.sin(yaw)
+
+def make_pose_table(traj: trj.Trajectory, n: int) -> PoseTable:
+    ts = jnp.linspace(0.0, traj.total_duration, n)
+    xy, yaw, _ = trj.state_se2(traj, ts)
+    return PoseTable(ts, xy, jnp.cos(yaw), jnp.sin(yaw))
+
+
+def _sdf_from_table(shape: Shape2D, table: PoseTable, points,
+                    dtype=None):
+    """SDF of M points at the table's K shared times: (M, K).
+
+    The trajectory pose comes precomputed and broadcast over the query
+    points — the memory-traffic key to the whole op (a per-point pose
+    eval would materialize (M, K, N, 6) basis tensors and go
+    HBM-bound)."""
+    if dtype is not None:
+        table = PoseTable(*(v.astype(dtype) for v in table))
+        points = points.astype(dtype)
+    d = points[:, None, :] - table.xy[None]       # (M, K, 2)
+    c, s = table.cos, table.sin
     prx = c[None] * d[..., 0] + s[None] * d[..., 1]
     pry = -s[None] * d[..., 0] + c[None] * d[..., 1]
-    return shape.sdf_xy_t(prx, pry, ts[None])
+    return shape.sdf_xy_t(prx, pry, table.ts[None])
 
 
-def tstar_search_batch(shape, traj, points, cfg: SVSDFConfig):
+def _sdf_many_times(shape: Shape2D, traj, points, ts):
+    """SDF of M points at K shared trajectory times: (M, K)."""
+    xy, yaw, _ = trj.state_se2(traj, ts)          # (K, 2), (K,)
+    return _sdf_from_table(
+        shape, PoseTable(ts, xy, jnp.cos(yaw), jnp.sin(yaw)), points)
+
+
+def _sdf_points_times(shape: Shape2D, traj, points, t):
+    """SDF of M points, each at its OWN S times: points (M,2), t (M,S)
+    -> (M,S). Per-point pose eval (one-hot dense; utils/trajectory.py),
+    used only by the narrow refinement rounds."""
+    xy, yaw, _ = trj.state_se2(traj, t)           # (M,S,2), (M,S)
+    d = points[:, None, :] - xy
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    prx = c * d[..., 0] + s * d[..., 1]
+    pry = -s * d[..., 0] + c * d[..., 1]
+    return shape.sdf_xy_t(prx, pry, t)
+
+
+def tstar_search_batch(shape, traj, points, cfg: SVSDFConfig,
+                       table: PoseTable | None = None):
     """Batched argmin of SDF over trajectory time for M points.
 
     Replaces choiceTInit + gradientDescent (sw_manager.hpp:539-725,
-    1249-1334): a dense coarse scan over K shared time samples, then a
-    fixed-iteration golden-section refinement inside the bracketing
-    coarse cell (2 cheap (M,)-shaped evals per iteration).
+    1249-1334): a dense coarse scan over K shared time samples, then
+    `refine_rounds` WIDE refinement rounds — each samples refine_n
+    times across the bracketing cell at once and shrinks the bracket
+    by ~2/(refine_n-1). Wide rounds beat a golden-section scan on TPU:
+    sequential depth 2-3 instead of 16-24 at the same accuracy
+    (bracket shrinks as (2/(S-1))^R vs 0.618^(8R)).
     Returns (sdf_min (M,), t_star (M,)).
     """
     total = traj.total_duration
     m = points.shape[0]
-    ts = jnp.linspace(0.0, total, cfg.coarse_n)
     # None = XLA path (measured faster on v5e; see SVSDFConfig.use_pallas)
     use_pallas = (bool(cfg.use_pallas) and m >= cfg.pallas_min_points
                   and not getattr(shape, "time_varying", False))
     if use_pallas:
         # fused VMEM K-loop: the (M, K) SDF matrix never hits HBM
         from svsdf_tpu.ops import pallas_svsdf
+        ts = jnp.linspace(0.0, total, cfg.coarse_n)
         xy, yaw, _ = trj.state_se2(traj, ts)
         best, i = pallas_svsdf.coarse_scan(shape, points, xy, yaw)
+        dt = total / (cfg.coarse_n - 1)
     else:
-        d = _sdf_many_times(shape, traj, points, ts)  # (M, K)
+        if table is None:
+            table = make_pose_table(traj, cfg.coarse_n)
+        d = _sdf_from_table(shape, table, points,
+                            dtype=cfg.scan_dtype)     # (M, K)
         i = jnp.argmin(d, axis=1)
-        best = jnp.min(d, axis=1)
-    dt = total / (cfg.coarse_n - 1)
+        best = jnp.min(d, axis=1).astype(points.dtype)
+        dt = total / (table.ts.shape[0] - 1)
     t0 = i * dt
+
+    if cfg.refine_rounds == 0 and not use_pallas:
+        # zero-extra-eval parabola refinement on the coarse table:
+        # vertex of the quadratic through (f[i-1], f[i], f[i+1]).
+        # Used by the GSIP inner searches where the reference itself
+        # only needs |max g| < 0.1 accuracy (sw_manager.hpp:996).
+        k = d.shape[1]
+        im = jnp.clip(i - 1, 0, k - 1)
+        ip = jnp.clip(i + 1, 0, k - 1)
+        fm = jnp.take_along_axis(d, im[:, None], 1)[:, 0].astype(
+            points.dtype)
+        fp = jnp.take_along_axis(d, ip[:, None], 1)[:, 0].astype(
+            points.dtype)
+        denom = fm - 2.0 * best + fp
+        delta = jnp.where(denom > 1e-9,
+                          0.5 * (fm - fp) / jnp.where(denom > 1e-9,
+                                                      denom, 1.0), 0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        interior = (i > 0) & (i < k - 1) & (denom > 1e-9)
+        t_star = jnp.where(interior,
+                           jnp.clip(t0 + delta * dt, 0.0, total), t0)
+        f_star = jnp.where(interior, best - 0.25 * (fm - fp) * delta,
+                           best)
+        return jnp.minimum(f_star, best), t_star
+
     lo = jnp.clip(t0 - dt, 0.0, total)
     hi = jnp.clip(t0 + dt, 0.0, total)
 
-    # golden-section on the bracket (branchless, fixed iterations)
-    gr = 0.6180339887498949
-    x1 = hi - gr * (hi - lo)
-    x2 = lo + gr * (hi - lo)
-    f1 = sdf_at_time(shape, traj, points, x1)
-    f2 = sdf_at_time(shape, traj, points, x2)
-
-    def body(carry, _):
-        lo, hi, x1, x2, f1, f2 = carry
-        left = f1 < f2
-        lo_n = jnp.where(left, lo, x1)
-        hi_n = jnp.where(left, x2, hi)
-        x1_n = jnp.where(left, hi_n - gr * (hi_n - lo_n), x2)
-        x2_n = jnp.where(left, x1, lo_n + gr * (hi_n - lo_n))
-        f_new = sdf_at_time(shape, traj, points,
-                            jnp.where(left, x1_n, x2_n))
-        f1_n = jnp.where(left, f_new, f2)
-        f2_n = jnp.where(left, f1, f_new)
-        return (lo_n, hi_n, x1_n, x2_n, f1_n, f2_n), None
-
-    iters = max(1, cfg.refine_rounds) * 8
-    (lo, hi, x1, x2, f1, f2), _ = jax.lax.scan(
-        body, (lo, hi, x1, x2, f1, f2), None, length=iters)
-    t_ref = jnp.where(f1 < f2, x1, x2)
-    f_ref = jnp.minimum(f1, f2)
-    t_star = jnp.where(f_ref < best, t_ref, t0)
-    return jnp.minimum(f_ref, best), t_star
+    sn = max(cfg.refine_n, 4)
+    u = jnp.linspace(0.0, 1.0, sn)
+    t_star = t0
+    for _ in range(max(1, cfg.refine_rounds)):
+        t_cand = lo[:, None] + (hi - lo)[:, None] * u[None]   # (M, S)
+        f = _sdf_points_times(shape, traj, points, t_cand)
+        j = jnp.argmin(f, axis=1)
+        fj = jnp.min(f, axis=1)
+        tj = jnp.take_along_axis(t_cand, j[:, None], 1)[:, 0]
+        better = fj < best
+        best = jnp.minimum(fj, best)
+        t_star = jnp.where(better, tj, t_star)
+        h = (hi - lo) / (sn - 1)
+        lo = jnp.clip(tj - h, 0.0, total)
+        hi = jnp.clip(tj + h, 0.0, total)
+    return best, t_star
 
 
 def _tstar_search(shape, traj, p, cfg: SVSDFConfig):
-    """Single-point wrapper (kept for the GSIP inner loop and tests)."""
+    """Single-point wrapper (kept for tests)."""
     sdf, t = tstar_search_batch(shape, traj, p[None], cfg)
     return sdf[0], t[0]
 
@@ -183,7 +249,7 @@ def _pick_gsip_velocity(traj, t_star):
     deg = jnp.linalg.norm(v) < 0.01
     sign = jnp.where(t_star < 0.1, 1.0, jnp.where(t_star > total - 0.1,
                                                   -1.0, 0.0))
-    n_scan = 64
+    n_scan = 16
     cand_t = jnp.clip(t_star + sign * 0.1 * jnp.arange(1, n_scan + 1),
                       0.0, total)
     cand_v = trj.eval_at(traj, cand_t, 1)[:, :2]
@@ -194,31 +260,42 @@ def _pick_gsip_velocity(traj, t_star):
     return jnp.where(deg, v_repl, v)
 
 
-def _gsip_inside(shape, traj, p, t_star0, cfg: SVSDFConfig):
+def _gsip_inside(shape, traj, p, t_star0, cfg: SVSDFConfig,
+                 table: PoseTable | None = None):
     """Expanding-disk GSIP solve for a point inside the swept volume
     (getTrueSDFofSweptVolume, sw_manager.hpp:916-1018).
 
     Finds r* = radius of the largest disk centered at p contained in
     the swept volume; returns (-r*, t*, world gradient toward the
-    binding boundary point).
+    binding boundary point). `table` is the shared gsip_coarse_n pose
+    table (built once per query batch in svsdf_query).
     """
     inner_cfg = dataclasses.replace(
         cfg, coarse_n=cfg.gsip_coarse_n,
-        refine_rounds=cfg.gsip_refine_rounds)
+        refine_rounds=cfg.gsip_refine_rounds,
+        refine_n=min(cfg.refine_n, 16), use_pallas=False)
+    if table is None:
+        table = make_pose_table(traj, cfg.gsip_coarse_n)
 
     vel = _pick_gsip_velocity(traj, t_star0)
     theta_init = jnp.arctan2(vel[0], -vel[1])  # sw_manager.hpp:79
 
-    def body(k, carry):
+    # Unrolled with per-iteration STATIC sample counts from the
+    # theta-resolution schedule (2, 6, 18, 21, ... samples) — the
+    # padded fori_loop version computed gsip_max_samples boundary
+    # evals every iteration and masked most of them away.
+    carry = (jnp.asarray(cfg.gsip_r0, dtype=t_star0.dtype),
+             theta_init, theta_init, t_star0,
+             jnp.asarray(False))
+    for k in range(cfg.gsip_iters):
         r, theta0, theta_star, t_star, done = carry
-        theta_res = jnp.asarray(_GSIP_THETA_RES)[k]
-        count = jnp.ceil(2.0 * PI / theta_res).astype(jnp.int32)
-        j = jnp.arange(cfg.gsip_max_samples)
-        valid = j < count
-        thetas = theta0 + j * theta_res
+        theta_res = _GSIP_THETA_RES[k]
+        count = min(int(math.ceil(2.0 * PI / theta_res)),
+                    cfg.gsip_max_samples)
+        thetas = theta0 + theta_res * jnp.arange(count)
         ys = p + r * jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], -1)
-        g, ts = tstar_search_batch(shape, traj, ys, inner_cfg)
-        g = jnp.where(valid, g, -jnp.inf)
+        g, ts = tstar_search_batch(shape, traj, ys, inner_cfg,
+                                   table=table)
         jstar = jnp.argmax(g)
         max_g = g[jstar]
         new_r = r - max_g
@@ -226,17 +303,12 @@ def _gsip_inside(shape, traj, p, t_star0, cfg: SVSDFConfig):
         new_t_star = ts[jstar]
         new_done = done | (jnp.abs(max_g) < cfg.gsip_tol)
         # expandSet: next iteration re-centers thetas on theta_star
-        return (jnp.where(done, r, new_r),
-                jnp.where(done, theta0, new_theta_star),
-                jnp.where(done, theta_star, new_theta_star),
-                jnp.where(done, t_star, new_t_star),
-                new_done)
-
-    init = (jnp.asarray(cfg.gsip_r0, dtype=t_star0.dtype),
-            theta_init, theta_init, t_star0,
-            jnp.asarray(False))
-    r_star, _, theta_star, t_star, _ = jax.lax.fori_loop(
-        0, cfg.gsip_iters, body, init)
+        carry = (jnp.where(done, r, new_r),
+                 jnp.where(done, theta0, new_theta_star),
+                 jnp.where(done, theta_star, new_theta_star),
+                 jnp.where(done, t_star, new_t_star),
+                 new_done)
+    r_star, _, theta_star, t_star, _ = carry
 
     corner = p + r_star * jnp.stack([jnp.cos(theta_star),
                                      jnp.sin(theta_star)], -1)
@@ -268,11 +340,13 @@ def svsdf_query(shape: Shape2D, traj: trj.Trajectory, points,
         return SVSDFResult(sdf, t_star, grad_world)
 
     inside = sdf < 0.0
+    gsip_table = make_pose_table(traj, cfg.gsip_coarse_n)
 
     def run_gsip(_):
         # compute for every point; mask below (vmap turns cond into select)
         g_sdf, g_t, g_grad = jax.vmap(
-            lambda q, t0: _gsip_inside(shape, traj, q, t0, cfg))(
+            lambda q, t0: _gsip_inside(shape, traj, q, t0, cfg,
+                                       table=gsip_table))(
                 points, t_star)
         return (jnp.where(inside, g_sdf, sdf),
                 jnp.where(inside, g_t, t_star),

@@ -38,6 +38,13 @@ class LBFGSParams:
     cautious_factor: float = 1e-6
     init_step: float = 1.0
     max_nulls: int = 12         # consecutive null steps before giving up
+    #: >0 switches the Lewis–Overton bisection to a PARALLEL line
+    #: search: ls_candidates trial steps on a geometric grid evaluated
+    #: as one batched call (sequential depth 1 instead of up to
+    #: max_linesearch). The TPU-native trade — width for depth — and
+    #: the batched (vmapped) solver's answer to one stubborn lane
+    #: forcing every lane through its worst-case bisection.
+    ls_candidates: int = 0
 
 
 class LBFGSResult(NamedTuple):
@@ -91,6 +98,37 @@ def _weak_wolfe_search(fun, x, f0, g0, d, p: LBFGSParams, t0=None):
     # On failure, (xt, ft, gt) is the last (rejected) trial — its
     # subgradient is the bundle information for a null step.
     return t, x_new, f_new, g_new, accept, xt, gt
+
+
+#: geometric trial-step grid for the parallel search, descending so
+#: "largest Armijo-passing step" = first passing entry.
+_LS_GRID = (2.0, 1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625,
+            0.0078125, 0.00390625, 0.001953125, 0.0009765625)
+
+
+def _parallel_line_search(fun, x, f0, g0, d, p: LBFGSParams, t0):
+    """Evaluate ls_candidates trial steps at once; pick the largest
+    Armijo-passing one, else the best plain decrease, else null step.
+
+    Returns the same tuple as _weak_wolfe_search."""
+    dg0 = jnp.vdot(g0, d)
+    c = p.ls_candidates
+    ts = t0 * jnp.asarray(_LS_GRID[:c], x.dtype)           # (C,)
+    xt = x[None] + ts[:, None] * d[None]                   # (C, n)
+    ft, gt = jax.vmap(fun)(xt)                             # (C,), (C, n)
+    armijo = ft <= f0 + p.f_dec_coeff * ts * dg0
+    any_armijo = jnp.any(armijo)
+    first_pass = jnp.argmax(armijo)          # largest passing t (grid desc)
+    best = jnp.argmin(ft)
+    pick = jnp.where(any_armijo, first_pass, best)
+    t = ts[pick]
+    xp, fp, gp = xt[pick], ft[pick], gt[pick]
+    accept = any_armijo | (fp < f0)
+    x_new = jnp.where(accept, xp, x)
+    f_new = jnp.where(accept, fp, f0)
+    g_new = jnp.where(accept, gp, g0)
+    # on failure the lowest trial is the bundle info for the null step
+    return t, x_new, f_new, g_new, accept, xp, gp
 
 
 def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
@@ -162,7 +200,9 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
         t0 = jnp.where(c.n_corr == 0,
                        1.0 / jnp.maximum(jnp.linalg.norm(d), 1.0),
                        jnp.asarray(p.init_step, c.x.dtype))
-        t, x_new, f_new, g_new, ok, x_trial, g_trial = _weak_wolfe_search(
+        search = (_parallel_line_search if p.ls_candidates > 0
+                  else _weak_wolfe_search)
+        t, x_new, f_new, g_new, ok, x_trial, g_trial = search(
             fun, c.x, c.f, c.ga, d, p, t0=t0)
 
         s = x_new - c.x
