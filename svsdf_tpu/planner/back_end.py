@@ -42,6 +42,7 @@ from svsdf_tpu.models.shapes import Shape2D
 from svsdf_tpu.ops import minco
 from svsdf_tpu.ops.svsdf import DEFAULT_CONFIG, SVSDFConfig, svsdf_query
 from svsdf_tpu.utils import lbfgs
+from svsdf_tpu.utils import lmbm
 from svsdf_tpu.utils import trajectory as trj
 from svsdf_tpu.utils.config import PlannerConfig
 from svsdf_tpu.utils.transforms import backward_t, forward_t, smoothed_l1
@@ -116,13 +117,16 @@ class BackEndResult(NamedTuple):
     converged: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
 def _run(shape, x0, problem, cfg, svs_cfg, n: int, max_iters: int,
-         mu_schedule: tuple):
+         mu_schedule: tuple, solver: str = "lbfgs"):
     """Smoothing-continuation solve: the hinge smoothing mu anneals
     from wide to the reference's 0.01. The wide stages give the
     nonsmooth landscape a broad basin (the role LMBM's bundle plays in
-    the reference) before the final sharp stage polishes."""
+    the reference) before the final sharp stage polishes.
+
+    solver: "lbfgs" (default; weak-Wolfe nonsmooth L-BFGS) or "lmbm"
+    (utils/lmbm.py, the reference's actual bundle method)."""
     x = x0
     total_iters = jnp.asarray(0)
     res = None
@@ -130,11 +134,18 @@ def _run(shape, x0, problem, cfg, svs_cfg, n: int, max_iters: int,
         cost = make_cost_fn(shape, problem, cfg, svs_cfg, n, mu=mu)
         iters = max_iters if i == len(mu_schedule) - 1 else max(
             max_iters // 2, 40)
-        params = lbfgs.LBFGSParams(
-            mem_size=cfg.mem_size, max_iterations=iters,
-            g_epsilon=max(cfg.g_epsilon, 1e-7), past=3,
-            delta=cfg.relCostTol)
-        res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
+        if solver == "lmbm":
+            res = lmbm.minimize(
+                jax.value_and_grad(cost), x,
+                lmbm.LMBMParams(mem_size=cfg.mem_size,
+                                max_iterations=iters,
+                                delta=cfg.relCostTol))
+        else:
+            params = lbfgs.LBFGSParams(
+                mem_size=cfg.mem_size, max_iterations=iters,
+                g_epsilon=max(cfg.g_epsilon, 1e-7), past=3,
+                delta=cfg.relCostTol)
+            res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
         x = res.x
         total_iters = total_iters + res.n_iters
     times = forward_t(x[:n])
@@ -147,7 +158,8 @@ def optimize(shape: Shape2D, head, tail, obstacles, opt_x,
              cfg: PlannerConfig = PlannerConfig(),
              svs_cfg: SVSDFConfig = DEFAULT_CONFIG,
              max_iters: int = 200,
-             mu_schedule: tuple = (0.5, 0.1, 0.01)) -> BackEndResult:
+             mu_schedule: tuple = (0.5, 0.1, 0.01),
+             solver: str = "lbfgs") -> BackEndResult:
     """Run the back end from the mid end's warm-start decision vector
     (optimize_traj_lmbm, back_end_optimizer.cpp:3-96).
 
@@ -160,4 +172,4 @@ def optimize(shape: Shape2D, head, tail, obstacles, opt_x,
     problem = BackEndProblem(jnp.asarray(head), jnp.asarray(tail),
                              obstacles)
     return _run(shape, opt_x, problem, cfg, svs_cfg, n, max_iters,
-                tuple(mu_schedule))
+                tuple(mu_schedule), solver)
