@@ -90,20 +90,31 @@ def sharded_value_and_grad(shape: Shape2D, mesh: Mesh,
     'scn'. The obs-axis partial penalties are reduced with a psum
     INSIDE the shard_map, so the gradient collective rides ICI.
     """
+    n_obs_shards = mesh.shape["obs"]
+
     def local_cost(x, head, tail, obs_shard):
+        """Per-shard partial cost. The replicated base term is divided
+        by the obs-shard count so that the psum of BOTH value and
+        gradient below reconstructs the exact total — psumming only
+        the penalty value (and not its gradient) leaves each device
+        holding just its own shard's penalty gradient, which the
+        out_specs then silently truncate."""
         tau = x[:n]
         wps = x[n:].reshape(n - 1, 3)
         times = forward_t(tau)
         traj = minco.solve(times, head, tail, wps)
         pen, _ = back_end.svsdf_penalty(shape, traj, obs_shard, cfg,
                                         svs_cfg)
-        pen = jax.lax.psum(pen, axis_name="obs")
         base = minco.energy(traj) + cfg.rho * jnp.sum(times)
-        return base + pen
+        return base / n_obs_shards + pen
 
     def shard_fn(x_b, head_b, tail_b, obs_b):
         def one(x, head, tail, obs):
-            return jax.value_and_grad(local_cost)(x, head, tail, obs)
+            f, g = jax.value_and_grad(local_cost)(x, head, tail, obs)
+            # the collective gradient merge (the reference's
+            # omp-critical, back_end_optimizer.hpp:855-863) rides ICI
+            return (jax.lax.psum(f, axis_name="obs"),
+                    jax.lax.psum(g, axis_name="obs"))
         return jax.vmap(one)(x_b, head_b, tail_b, obs_b)
 
     mapped = jax.shard_map(

@@ -1,0 +1,91 @@
+"""Multi-chip sharded planning on the 8-device virtual CPU mesh:
+the sharded cost/grad must match the unsharded computation exactly
+(the psum over the obs axis replaces the reference's omp-critical
+gradient merge, SURVEY.md §2.6)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from svsdf_tpu.models import shapes
+from svsdf_tpu.ops import minco
+from svsdf_tpu.ops.svsdf import SVSDFConfig
+from svsdf_tpu.parallel import batch as pbatch
+from svsdf_tpu.planner import back_end
+from svsdf_tpu.utils.config import PlannerConfig
+from svsdf_tpu.utils.transforms import backward_t, forward_t
+
+SVS = SVSDFConfig(coarse_n=32, refine_rounds=1, refine_n=8,
+                  use_inside=False, use_pallas=False)
+CFG = PlannerConfig()
+N = 4
+
+
+def _problem(batch, n_obs, seed=0):
+    rng = np.random.default_rng(seed)
+    head = np.zeros((batch, 3, 3), np.float32)
+    tail = np.zeros((batch, 3, 3), np.float32)
+    tail[:, 0, :2] = rng.uniform([4, -1], [6, 1], (batch, 2))
+    frac = np.linspace(0, 1, N + 1)[1:-1]
+    wps = (tail[:, 0][:, None, :2] * frac[None, :, None])
+    wps = np.concatenate(
+        [wps, np.zeros((batch, N - 1, 1), np.float32)], -1)
+    obs = rng.uniform([0, -2], [6, 2], (batch, n_obs, 2)).astype(
+        np.float32)
+    tau = np.tile(np.asarray(backward_t(jnp.full((N,), 1.4))),
+                  (batch, 1))
+    x0 = np.concatenate([tau, wps.reshape(batch, -1)],
+                        axis=1).astype(np.float32)
+    return (jnp.asarray(head), jnp.asarray(tail), jnp.asarray(obs),
+            jnp.asarray(x0))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (8, 1)])
+def test_sharded_value_and_grad_matches_unsharded(mesh_shape):
+    n_scn, n_obs_ax = mesh_shape
+    if len(jax.devices()) < n_scn * n_obs_ax:
+        pytest.skip("needs 8 virtual devices")
+    shape = shapes.make_shape("Circle")
+    batch, n_obs = n_scn * 2, n_obs_ax * 4
+    head, tail, obs, x0 = _problem(batch, n_obs)
+    mesh = pbatch.make_mesh(n_scn, n_obs_ax)
+    vg = pbatch.sharded_value_and_grad(shape, mesh, CFG, SVS, N)
+    cost_s, grad_s = vg(x0, head, tail, obs)
+
+    # unsharded oracle
+    def one(x, h, t, o):
+        def c(xx):
+            times = forward_t(xx[:N])
+            wps = xx[N:].reshape(N - 1, 3)
+            traj = minco.solve(times, h, t, wps)
+            pen, _ = back_end.svsdf_penalty(shape, traj, o, CFG, SVS)
+            return minco.energy(traj) + CFG.rho * jnp.sum(times) + pen
+        return jax.value_and_grad(c)(x)
+
+    cost_u, grad_u = jax.vmap(one)(x0, head, tail, obs)
+    np.testing.assert_allclose(np.asarray(cost_s), np.asarray(cost_u),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(grad_s), np.asarray(grad_u),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_step_decreases_cost():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    shape = shapes.make_shape("Circle")
+    mesh = pbatch.make_mesh(4, 2)
+    head, tail, obs, x0 = _problem(8, 8, seed=1)
+    step = pbatch.sharded_step(shape, mesh, CFG, SVS, N, lr=1e-3)
+    x1, c0 = step(x0, head, tail, obs)
+    _, c1 = step(x1, head, tail, obs)
+    assert float(c1.mean()) < float(c0.mean())
+
+
+def test_plan_batch_runs_and_converges_somewhere():
+    shape = shapes.make_shape("Circle")
+    head, tail, obs, x0 = _problem(4, 8, seed=2)
+    probs = back_end.BackEndProblem(head, tail, obs)
+    out = pbatch.plan_batch(shape, x0, probs, CFG, SVS, N, 25)
+    assert out.cost.shape == (4,)
+    assert np.isfinite(np.asarray(out.cost)).all()
