@@ -78,6 +78,55 @@ def plan_batch(shape: Shape2D, x0_b, problems_b, cfg: PlannerConfig,
                                problems_b.obstacles)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def plan_batch_staged(shape: Shape2D, x0_b, problems_b,
+                      cfg: PlannerConfig, stages: tuple, n: int,
+                      max_linesearch: int = 4):
+    """Staged batched solve: stages = ((SVSDFConfig, iters), ...) run
+    back to back, each warm-starting the next.
+
+    The measured operating point on v5e is a cheap outside-only stage
+    followed by a short full-GSIP polish: vs a single full-fidelity
+    solve at equal total iterations this is ~5x faster AND reaches a
+    slightly LOWER high-fidelity cost (the cheap stage takes many more
+    productive steps per second through the far-from-feasible early
+    landscape, and the polish stage's interior solve only matters near
+    the end). See DEFAULT_STAGES.
+    """
+    def solve_one(x0, head, tail, obstacles):
+        prob = back_end.BackEndProblem(head, tail, obstacles)
+        x = x0
+        res = None
+        for svs_cfg, iters in stages:
+            cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
+            params = lbfgs.LBFGSParams(
+                mem_size=cfg.mem_size, max_iterations=iters,
+                g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
+                max_linesearch=max_linesearch)
+            res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
+            x = res.x
+        times = forward_t(x[:n])
+        wps = x[n:].reshape(n - 1, 3)
+        traj = minco.solve(times, head, tail, wps)
+        return back_end.BackEndResult(traj, x, res.f, res.n_iters,
+                                      res.converged)
+
+    return jax.vmap(solve_one)(x0_b, problems_b.head, problems_b.tail,
+                               problems_b.obstacles)
+
+
+def default_stages(total_iters: int = 50) -> tuple:
+    """The v5e-tuned two-stage schedule: 80% outside-only SVSDF
+    (coarse_n=96, one refine round), 20% full GSIP polish."""
+    fast = SVSDFConfig(coarse_n=96, refine_rounds=1, refine_n=16,
+                       use_inside=False)
+    polish = SVSDFConfig(coarse_n=128, refine_rounds=2, refine_n=16,
+                         gsip_iters=3, gsip_coarse_n=32,
+                         gsip_refine_rounds=1)
+    k = max(total_iters // 5, 5)
+    return ((fast, total_iters - k), (polish, k))
+
+
 # ---------------------------------------------------------------------------
 # multi-chip sharded cost/gradient (scn x obs mesh)
 # ---------------------------------------------------------------------------

@@ -298,6 +298,61 @@ def map_maze_noise(res=0.1, seed=0, extent=40.0, scale=0.25,
     return np.concatenate(parts)
 
 
+def map_perlin3d(res=0.1, seed=0, extent=30.0, height=5.0,
+                 scale=0.35, threshold=0.58, **kw):
+    """Volumetric Perlin clutter — mockamap's perlin3D map type
+    (`src/uav_simulator/mockamap/src/maps.cpp` Maps::pcl2ros
+    perlin3D): threshold a 3-D noise field into floating blobs."""
+    pts = _lattice((0, 0, 0), (extent, extent, height), res * 2.5)
+    n = PerlinNoise(seed).noise(pts[:, 0] * scale, pts[:, 1] * scale,
+                                pts[:, 2] * scale)
+    body = pts[n > threshold]
+    parts = _markers((0, 0, 2.0), (extent, extent, 2.0), res=res)
+    parts.append(body)
+    return np.concatenate(parts)
+
+
+def map_maze2d(res=0.1, seed=0, extent=30.0, cell=5.0, height=2.5,
+               wall_w=0.3, **kw):
+    """Recursive-division 2-D maze walls — mockamap's maze type
+    (`mockamap/src/maps.cpp` recursiveDivisionMaze)."""
+    rng = np.random.default_rng(seed)
+    walls = []   # (x0, y0, x1, y1) segments
+
+    def divide(x0, y0, x1, y1, depth=0):
+        if x1 - x0 < 2 * cell or y1 - y0 < 2 * cell or depth > 6:
+            return
+        if (x1 - x0) >= (y1 - y0):
+            # vertical wall with a gap
+            wx = rng.uniform(x0 + cell, x1 - cell)
+            gap = rng.uniform(y0, y1 - cell)
+            walls.append((wx, y0, wx, gap))
+            walls.append((wx, gap + cell, wx, y1))
+            divide(x0, y0, wx, y1, depth + 1)
+            divide(wx, y0, x1, y1, depth + 1)
+        else:
+            wy = rng.uniform(y0 + cell, y1 - cell)
+            gap = rng.uniform(x0, x1 - cell)
+            walls.append((x0, wy, gap, wy))
+            walls.append((gap + cell, wy, x1, wy))
+            divide(x0, y0, x1, wy, depth + 1)
+            divide(x0, wy, x1, y1, depth + 1)
+
+    divide(0.0, 0.0, extent, extent)
+    parts = _markers((0, 0, 3.0), (extent, extent, 3.0), res=res)
+    for (x0, y0, x1, y1) in walls:
+        length = max(abs(x1 - x0), abs(y1 - y0))
+        if length < res:
+            continue
+        if abs(x1 - x0) >= abs(y1 - y0):
+            parts.append(wall(min(x0, x1), y0 - wall_w / 2,
+                              length, wall_w, height, res))
+        else:
+            parts.append(wall(x0 - wall_w / 2, min(y0, y1),
+                              wall_w, length, height, res))
+    return np.concatenate(parts)
+
+
 GENERATORS: Dict[str, Callable[..., np.ndarray]] = {
     "gate": map_gate,
     "forest": map_forest,
@@ -309,6 +364,8 @@ GENERATORS: Dict[str, Callable[..., np.ndarray]] = {
     "broken_road": map_broken_road,
     "spiral": map_spiral,
     "maze_noise": map_maze_noise,
+    "perlin3d": map_perlin3d,
+    "maze2d": map_maze2d,
 }
 
 
