@@ -67,13 +67,12 @@ def bench_plans(n_pieces=8, n_obs=64, iters=50):
     from svsdf_tpu.utils.config import PlannerConfig
 
     cfg = PlannerConfig()
-    # v5e-tuned two-stage schedule (outside-only + GSIP polish):
-    # measured 5x faster than the single full-fidelity solve at equal
-    # iteration count AND slightly lower final high-fidelity cost
-    # (hifi_med 2684 vs 2702 on the 128-scenario problem set).
+    # v5e-tuned two-stage schedule (outside-only + GSIP polish, bf16
+    # coarse scans, line-search cap 2) — see default_stages for the
+    # measured speed/quality ladder.
     stages = pbatch.default_stages(iters)
     shape = shapes.make_shape("sdHeart")
-    for batch in (128, 64, 32):
+    for batch in (256, 128, 32):
         try:
             head, tail, obs, x0 = _problem(n_pieces, n_obs, batch)
             probs = BackEndProblem(head, tail, obs)
@@ -135,9 +134,38 @@ def bench_grid_queries(grid=256, coarse_n=256):
     return pts.shape[0] / dt, dt
 
 
+def bench_replan_latency(n_pieces=8, n_obs=64, iters=50, reps=15):
+    """p50 single-plan replan latency (batch=1 staged solve) — the
+    SURVEY.md §6 'p50 replan latency at 1 chip' metric."""
+    from svsdf_tpu.models import shapes
+    from svsdf_tpu.parallel import batch as pbatch
+    from svsdf_tpu.planner.back_end import BackEndProblem
+    from svsdf_tpu.utils.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    stages = pbatch.default_stages(iters)
+    shape = shapes.make_shape("sdHeart")
+    head, tail, obs, x0 = _problem(n_pieces, n_obs, reps + 1)
+    lat = []
+    for i in range(reps + 1):
+        probs = BackEndProblem(head[i:i + 1], tail[i:i + 1],
+                               obs[i:i + 1])
+        t0 = time.perf_counter()
+        out = pbatch.plan_batch_staged(shape, x0[i:i + 1], probs, cfg,
+                                       stages, n_pieces)
+        float(out.cost.sum())
+        if i > 0:                  # drop the compile run
+            lat.append(time.perf_counter() - t0)
+    return float(np.median(lat))
+
+
 def main():
     plans_per_s, plan_dt, used_batch = bench_plans()
     queries_per_s, grid_dt = bench_grid_queries()
+    try:
+        replan_p50 = bench_replan_latency()
+    except Exception:                              # noqa: BLE001
+        replan_p50 = float("nan")
     target_per_chip = 1000.0 / 16.0   # north star: 1000 plans/s on v5e-16
     print(json.dumps({
         "metric": "batched_svsdf_plans_per_s_per_chip",
@@ -145,6 +173,7 @@ def main():
         "unit": "plans/s",
         "vs_baseline": round(plans_per_s / target_per_chip, 3),
         "extra": {
+            "replan_latency_p50_ms": round(replan_p50 * 1e3, 2),
             "svsdf_grid_queries_per_s": round(queries_per_s, 1),
             "grid_query_batch_ms": round(grid_dt * 1e3, 2),
             "plan_batch_wall_s": round(plan_dt, 3),

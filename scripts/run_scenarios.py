@@ -45,6 +45,8 @@ def run_one(name: str) -> dict:
         res = planner.plan(sc.start, sc.goal)
         rec["plan_s"] = round(time.time() - t0, 1)
         rec["success"] = bool(res.success)
+        rec["certified"] = bool(res.certified)
+        rec["min_cert_sdf"] = round(float(res.min_cert_sdf), 4)
         if not res.success:
             return rec
         rec["astar_len"] = int(len(res.astar_path))

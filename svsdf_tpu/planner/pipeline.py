@@ -32,6 +32,12 @@ class PlanResult(NamedTuple):
     obstacles: np.ndarray                # (M, 3) harvested SVSDF points
     mid_cost: float
     final_cost: float
+    #: map-wide certificate: True iff every occupied voxel near the
+    #: trajectory has positive swept-volume SDF (min_cert_sdf > 0).
+    #: The reference has no such check and silently emits colliding
+    #: trajectories in narrow-corridor cases.
+    certified: bool = True
+    min_cert_sdf: float = float("nan")
 
 
 class Planner:
@@ -76,22 +82,40 @@ class Planner:
 
     # -- front end ---------------------------------------------------------
 
-    def _trans_feas(self, guard):
-        if guard is None:
-            return None
+    def _stencils(self, guard):
         if guard not in self._trans_feas_cache:
-            stencils = kops.transition_stencils(
+            self._trans_feas_cache[guard] = kops.transition_stencils(
                 self.shape, self.config.kernel_yaw_num,
                 self.config.occupancy_resolution, guard_half_world=guard)
-            self._trans_feas_cache[guard] = np.asarray(
-                kops.transition_feasibility(self._occ2d_dev, stencils))
         return self._trans_feas_cache[guard]
 
-    def generate_path(self, start, goal) -> astar.AstarResult:
+    def _trans_feas(self, guard, occ2d_dev=None):
+        if guard is None:
+            return None
+        if occ2d_dev is None:            # cache the default-map result
+            key = ("tf", guard)
+            if key not in self._trans_feas_cache:
+                self._trans_feas_cache[key] = np.asarray(
+                    kops.transition_feasibility(self._occ2d_dev,
+                                                self._stencils(guard)))
+            return self._trans_feas_cache[key]
+        return np.asarray(kops.transition_feasibility(
+            occ2d_dev, self._stencils(guard)))
+
+    def generate_path(self, start, goal,
+                      occ2d_dev=None) -> astar.AstarResult:
+        """A* over the guard ladder. occ2d_dev optionally overrides the
+        2-D occupancy slice (used by the homotopy retry to block cells
+        a previous attempt's trajectory could not clear)."""
+        if occ2d_dev is None:
+            feas = self.feas
+        else:
+            feas = np.asarray(kops.feasibility_maps(occ2d_dev,
+                                                    self._kernels))
         res = None
         for guard in self.guard_ladder:
-            res = astar.search(self.grid, self.feas,
-                               self._trans_feas(guard),
+            res = astar.search(self.grid, feas,
+                               self._trans_feas(guard, occ2d_dev),
                                np.asarray(start), np.asarray(goal),
                                self.config.kernel_yaw_num)
             if res.success:
@@ -118,11 +142,108 @@ class Planner:
         centered at the raw (x, y, yaw) waypoint)."""
         return self.grid.harvest_along_path(waypoints, self.bd / 3.0)
 
+    # -- collision certificate + active-set refinement ---------------------
+
+    def certify(self, traj: trj.Trajectory, chunk: int = 4096):
+        """Map-wide swept-volume collision certificate: SVSDF of every
+        occupied 2-D voxel center within the trajectory's bounding box
+        (inflated by the kernel half-extent + safety horizon).
+
+        Returns (points (M, 2), sdf (M,)) — min(sdf) > 0 certifies the
+        trajectory collision-free against the whole map, a stronger
+        check than the reference ever runs (it only penalizes the
+        AABB-harvested subset, plan_manager.cpp:156-175)."""
+        from svsdf_tpu.ops.svsdf import svsdf_query
+        occ = self.grid.occ2d
+        ii, jj = np.nonzero(occ)
+        if len(ii) == 0:
+            return np.zeros((0, 2)), np.zeros((0,))
+        pts = np.stack([
+            self.grid.xyz_min[0] + (ii + 0.5) * self.grid.resolution,
+            self.grid.xyz_min[1] + (jj + 0.5) * self.grid.resolution,
+        ], axis=-1)
+        # restrict to the trajectory's reachable band
+        ts = np.linspace(0.0, float(traj.total_duration), 64)
+        xy = np.asarray(trj.pos(traj, jnp.asarray(ts)))[:, :2]
+        margin = self.bd / 2.0 + self.config.safety_hor + 1.0
+        lo, hi = xy.min(0) - margin, xy.max(0) + margin
+        keep = np.all((pts >= lo) & (pts <= hi), axis=1)
+        pts = pts[keep]
+        if len(pts) == 0:
+            return np.zeros((0, 2)), np.zeros((0,))
+        sdfs = []
+        for s in range(0, len(pts), chunk):
+            q = svsdf_query(self.shape, traj,
+                            jnp.asarray(pts[s:s + chunk], jnp.float32),
+                            self.svs_cfg, with_inside=False)
+            sdfs.append(np.asarray(q.sdf))
+        return pts, np.concatenate(sdfs)
+
+    @staticmethod
+    def _pad_obstacles(obs: np.ndarray, bucket: int = 256) -> np.ndarray:
+        """Pad the obstacle set to the next bucket multiple with
+        far-away dummy points (zero penalty) so the jitted back-end
+        solve recompiles only on bucket changes, not every M."""
+        m = len(obs)
+        target = ((m + bucket - 1) // bucket) * bucket
+        if target == m:
+            return obs
+        pad = np.tile(np.asarray([[1e4, 1e4, 0.0]]), (target - m, 1))
+        return np.concatenate([obs, pad[:, :obs.shape[1]]], axis=0)
+
     # -- full pipeline -----------------------------------------------------
 
     def plan(self, start, goal, mid_iters: int = 100,
-             back_iters: int = 200) -> PlanResult:
-        front = self.generate_path(np.asarray(start), np.asarray(goal))
+             back_iters: int = 200, certify_rounds: int = 2,
+             max_active_add: int = 512,
+             homotopy_retries: int = 1) -> PlanResult:
+        """Full pipeline with map-wide certification.
+
+        If, after the certify-and-refine rounds, the trajectory still
+        sweeps occupied voxels (the A* corridor's homotopy class can be
+        genuinely infeasible for the continuous shape — the guard
+        ladder admits near-fitting corridors on purpose), the violated
+        cells are blocked in the occupancy slice and the WHOLE pipeline
+        re-runs once, forcing A* into a different corridor. Returns the
+        best attempt; `certified`/`min_cert_sdf` report the map-wide
+        certificate honestly (the reference never checks this)."""
+        best = None
+        occ2d_dev = None
+        n_attempts = 1 + max(homotopy_retries, 0)
+        for attempt in range(n_attempts):
+            res = self._attempt(start, goal, occ2d_dev, mid_iters,
+                                back_iters, certify_rounds,
+                                max_active_add)
+            if not res.success:
+                return best if best is not None else res
+            if res.certified or math.isnan(res.min_cert_sdf):
+                return res
+            if best is None or res.min_cert_sdf > best.min_cert_sdf:
+                best = res
+            if attempt == n_attempts - 1:
+                break
+            # block the violated voxels (plus a one-cell dilation) and
+            # let A* find another homotopy class
+            pts, sdf = self.certify(res.traj)
+            viol = pts[sdf < 0.0]
+            if len(viol) == 0:
+                break
+            occ = np.asarray(self._occ2d_dev if occ2d_dev is None
+                             else occ2d_dev).copy()
+            ij = np.round((viol - self.grid.xyz_min[None, :2])
+                          / self.grid.resolution - 0.5).astype(np.int64)
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    ii = np.clip(ij[:, 0] + di, 0, occ.shape[0] - 1)
+                    jj = np.clip(ij[:, 1] + dj, 0, occ.shape[1] - 1)
+                    occ[ii, jj] = 1
+            occ2d_dev = jnp.asarray(occ)
+        return best
+
+    def _attempt(self, start, goal, occ2d_dev, mid_iters, back_iters,
+                 certify_rounds, max_active_add) -> PlanResult:
+        front = self.generate_path(np.asarray(start), np.asarray(goal),
+                                   occ2d_dev=occ2d_dev)
         empty = np.zeros((0, 3))
         if not front.success:
             return PlanResult(False, None, None, front.path, empty,
@@ -146,15 +267,65 @@ class Planner:
                                self.config, max_iters=mid_iters)
 
         if len(obstacles) == 0:
-            # nothing to avoid: the mid-end trajectory is final
-            return PlanResult(True, mid.traj, mid.traj, path, obstacles,
-                              float(mid.cost), float(mid.cost))
+            # nothing harvested near the corridor: certify the mid-end
+            # trajectory map-wide; on violation fall through to the
+            # back end with the violators as the obstacle set
+            pts, sdf = self.certify(mid.traj)
+            if len(pts) == 0 or not np.any(sdf < 0.5 *
+                                           self.config.safety_hor):
+                m = float(sdf.min()) if len(sdf) else float("inf")
+                return PlanResult(True, mid.traj, mid.traj, path,
+                                  obstacles, float(mid.cost),
+                                  float(mid.cost), certified=True,
+                                  min_cert_sdf=m)
+            bad = sdf < 0.5 * self.config.safety_hor
+            obstacles = np.concatenate(
+                [pts[bad], np.zeros((int(bad.sum()), 1))], axis=1)
 
+        obstacles = self._pad_obstacles(obstacles)
         back = back_end.optimize(self.shape, head, tail, obstacles,
                                  mid.opt_x, self.config, self.svs_cfg,
                                  max_iters=back_iters)
+
+        # Certify-and-refine (active-set expansion): the reference only
+        # ever penalizes the AABB-harvested subset, so trajectories can
+        # sweep unseen map voxels; here every round re-checks the WHOLE
+        # map, adds the worst violating/near-active voxels to the
+        # obstacle set, escalates the penalty weight, and re-solves
+        # warm-started from the previous solution.
+        cfg = self.config
+        min_sdf = float("inf")
+        for round_ in range(certify_rounds + 1):
+            pts, sdf = self.certify(back.traj)
+            min_sdf = float(sdf.min()) if len(sdf) else float("inf")
+            if len(pts) == 0 or not np.any(sdf < 0.0):
+                break                      # collision-free: done
+            if round_ == certify_rounds:
+                break                      # out of refine budget
+            bad = sdf < 0.5 * cfg.safety_hor
+            order = np.argsort(sdf[bad])[:max_active_add]
+            add = np.concatenate(
+                [pts[bad][order], np.zeros((len(order), 1))], axis=1)
+            merged = np.concatenate([obstacles, add], axis=0)
+            # dedup on voxel identity so repeat rounds don't grow the set
+            key = np.round(merged[:, :2] / self.grid.resolution).astype(
+                np.int64)
+            _, uniq = np.unique(key, axis=0, return_index=True)
+            obstacles = self._pad_obstacles(merged[np.sort(uniq)])
+            # escalate both the penalty weight and the demanded margin:
+            # the weight fixes under-convergence, the margin bump fixes
+            # equilibria that settle a few cm inside the boundary
+            cfg = dataclasses.replace(
+                cfg, weight_p=cfg.weight_p * 4.0,
+                safety_hor=cfg.safety_hor + 0.1)
+            back = back_end.optimize(self.shape, head, tail, obstacles,
+                                     back.opt_x, cfg, self.svs_cfg,
+                                     max_iters=back_iters,
+                                     mu_schedule=(0.1, 0.01))
         return PlanResult(True, back.traj, mid.traj, path, obstacles,
-                          float(mid.cost), float(back.cost))
+                          float(mid.cost), float(back.cost),
+                          certified=(min_sdf > 0.0),
+                          min_cert_sdf=min_sdf)
 
 
 def _rotz(yaw: float) -> np.ndarray:

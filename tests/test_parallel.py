@@ -89,3 +89,23 @@ def test_plan_batch_runs_and_converges_somewhere():
     out = pbatch.plan_batch(shape, x0, probs, CFG, SVS, N, 25)
     assert out.cost.shape == (4,)
     assert np.isfinite(np.asarray(out.cost)).all()
+
+
+def test_plan_batch_staged_with_per_stage_ls():
+    """Staged solve with (cfg, iters) and (cfg, iters, ls) stage forms;
+    warm-started stages must not increase the final-stage cost family
+    and bf16 coarse scan must produce finite results."""
+    head, tail, obs, x0 = _problem(4, 8)
+    probs = back_end.BackEndProblem(head, tail, obs)
+    svs_bf16 = SVSDFConfig(coarse_n=32, refine_rounds=1, refine_n=8,
+                           use_inside=False, use_pallas=False,
+                           scan_dtype="bfloat16")
+    stages = ((svs_bf16, 6, 2), (SVS, 4))     # mixed tuple arities
+    out = pbatch.plan_batch_staged(shapes.make_shape("Circle"), x0,
+                                   probs, CFG, stages, N)
+    assert out.cost.shape == (4,)
+    assert bool(jnp.all(jnp.isfinite(out.cost)))
+    # staged result is no worse than the plain 4-iter single-stage run
+    out1 = pbatch.plan_batch(shapes.make_shape("Circle"), x0, probs,
+                             CFG, SVS, N, 4)
+    assert float(out.cost.mean()) <= float(out1.cost.mean()) * 1.5

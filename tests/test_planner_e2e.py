@@ -143,3 +143,22 @@ def test_flatness_grad_finite():
     fd = (f(jnp.array([2.0 + eps, -1.0, 0.5]))
           - f(jnp.array([2.0 - eps, -1.0, 0.5]))) / (2 * eps)
     np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-4)
+
+
+def test_certify_and_pad():
+    """Map-wide certificate + active-set padding (pipeline.certify)."""
+    cfg, pts = _scenario()
+    svs = SVSDFConfig(coarse_n=96, refine_rounds=1, gsip_iters=3,
+                      gsip_coarse_n=32, gsip_refine_rounds=1)
+    pl = Planner(cfg, pts, svs_cfg=svs)
+    res = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
+                  mid_iters=40, back_iters=80, certify_rounds=1)
+    assert res.success
+    cpts, sdf = pl.certify(res.traj)
+    assert len(cpts) == len(sdf) and len(cpts) > 0
+    # the planned trajectory clears every occupied voxel on the map
+    assert float(sdf.min()) > 0.0
+    # obstacle padding: bucketed length, dummy points far away
+    padded = Planner._pad_obstacles(np.zeros((3, 3)), bucket=8)
+    assert padded.shape == (8, 3)
+    assert np.all(padded[3:, 0] > 1e3)
