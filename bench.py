@@ -85,14 +85,17 @@ def bench_plans(n_pieces=8, n_obs=64, iters=50):
             # is closed by a host readback of a device reduction.
             out = run(x0)            # compile + first run
             float(out.cost.sum())
-            t0 = time.perf_counter()
-            reps = 3
-            acc = 0.0
-            for i in range(reps):
-                out = run(x0 + np.float32((i + 1) * 1e-5))
-                acc = acc + out.cost.sum()
-            float(acc)               # one readback syncs all reps
-            dt = (time.perf_counter() - t0) / reps
+            rng = np.random.default_rng(1)
+            times = []
+            for _ in range(3):       # per-rep sync, fresh inputs
+                xx = x0 + jnp.asarray(
+                    rng.uniform(-1e-3, 1e-3, x0.shape).astype(
+                        np.float32))
+                t0 = time.perf_counter()
+                out = run(xx)
+                float(out.cost.sum())
+                times.append(time.perf_counter() - t0)
+            dt = float(np.median(times))
             return batch / dt, dt, batch
         except Exception as e:                     # noqa: BLE001
             print(f"# batch={batch} failed: {str(e)[:120]}",
@@ -124,13 +127,19 @@ def bench_grid_queries(grid=256, coarse_n=256):
     fn = jax.jit(lambda p: svsdf_query(shape, traj, p, svs_cfg,
                                        with_inside=False).sdf)
     float(fn(pts).sum())             # compile + first run
-    t0 = time.perf_counter()
-    reps = 5
-    acc = 0.0
-    for i in range(reps):             # unique inputs per rep (see above)
-        acc = acc + fn(pts + np.float32((i + 1) * 1e-5)).sum()
-    float(acc)
-    dt = (time.perf_counter() - t0) / reps
+    # per-rep host sync + O(0.1) random perturbations: tiny (1e-5)
+    # perturbations plus a single deferred sync measured up to 6x off
+    # on the remote chip (queue-drain and result-cache effects)
+    rng = np.random.default_rng(1)
+    times = []
+    for _ in range(5):
+        q = jnp.asarray(np.asarray(pts)
+                        + rng.uniform(-0.1, 0.1, pts.shape).astype(
+                            np.float32))
+        t0 = time.perf_counter()
+        float(fn(q).sum())
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     return pts.shape[0] / dt, dt
 
 

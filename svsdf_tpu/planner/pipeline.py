@@ -124,10 +124,9 @@ class Planner:
 
     # -- waypoint subsampling + obstacle harvest ---------------------------
 
-    def _subsample(self, path: np.ndarray):
+    def _subsample(self, path: np.ndarray, parlength: float = 3.0):
         """Waypoint subsample every index_gap (generateTraj,
         plan_manager.cpp:130-144; traj_parlength = 3.0, :75)."""
-        parlength = 3.0
         res = self.grid.resolution
         path_size = len(path)
         gap = math.ceil(parlength / res)
@@ -196,7 +195,8 @@ class Planner:
     def plan(self, start, goal, mid_iters: int = 100,
              back_iters: int = 200, certify_rounds: int = 2,
              max_active_add: int = 512,
-             homotopy_retries: int = 1) -> PlanResult:
+             homotopy_retries: int = 1,
+             parlength: float = 3.0) -> PlanResult:
         """Full pipeline with map-wide certification.
 
         If, after the certify-and-refine rounds, the trajectory still
@@ -211,9 +211,12 @@ class Planner:
         occ2d_dev = None
         n_attempts = 1 + max(homotopy_retries, 0)
         for attempt in range(n_attempts):
+            # retries densify the waypoint grid: tight corridors need
+            # finer yaw control than the default 3 m spacing gives
             res = self._attempt(start, goal, occ2d_dev, mid_iters,
                                 back_iters, certify_rounds,
-                                max_active_add)
+                                max_active_add,
+                                parlength / (2.0 ** attempt))
             if not res.success:
                 return best if best is not None else res
             if res.certified or math.isnan(res.min_cert_sdf):
@@ -241,7 +244,8 @@ class Planner:
         return best
 
     def _attempt(self, start, goal, occ2d_dev, mid_iters, back_iters,
-                 certify_rounds, max_active_add) -> PlanResult:
+                 certify_rounds, max_active_add,
+                 parlength: float = 3.0) -> PlanResult:
         front = self.generate_path(np.asarray(start), np.asarray(goal),
                                    occ2d_dev=occ2d_dev)
         empty = np.zeros((0, 3))
@@ -249,7 +253,7 @@ class Planner:
             return PlanResult(False, None, None, front.path, empty,
                               float("nan"), float("nan"))
         path = front.path
-        q = self._subsample(path)
+        q = self._subsample(path, parlength)
         if len(q) == 0:
             # degenerate short path: single midpoint
             q = path[len(path) // 2][None]
