@@ -207,10 +207,13 @@ class Planner:
         re-runs once, forcing A* into a different corridor. Returns the
         best attempt; `certified`/`min_cert_sdf` report the map-wide
         certificate honestly (the reference never checks this)."""
+        from svsdf_tpu.utils.debugbus import BUS
         best = None
         occ2d_dev = None
         n_attempts = 1 + max(homotopy_retries, 0)
         for attempt in range(n_attempts):
+            if attempt > 0 and BUS.stop_requested:
+                break   # debug_cmd early exit: best-so-far (§3.5)
             # retries densify the waypoint grid: tight corridors need
             # finer yaw control than the default 3 m spacing gives
             res = self._attempt(start, goal, occ2d_dev, mid_iters,
@@ -297,10 +300,14 @@ class Planner:
         # map, adds the worst violating/near-active voxels to the
         # obstacle set, escalates the penalty weight, and re-solves
         # warm-started from the previous solution.
+        from svsdf_tpu.utils.debugbus import BUS
         cfg = self.config
         min_sdf = float("inf")
         for round_ in range(certify_rounds + 1):
             pts, sdf = self.certify(back.traj)
+            if BUS.stop_requested and round_ > 0:
+                min_sdf = float(sdf.min()) if len(sdf) else float("inf")
+                break
             min_sdf = float(sdf.min()) if len(sdf) else float("inf")
             if len(pts) == 0 or not np.any(sdf < 0.0):
                 break                      # collision-free: done

@@ -25,6 +25,25 @@ class DebugBus:
         self.series: Dict[str, List] = defaultdict(list)
         self.timers: Dict[str, float] = defaultdict(float)
         self._t0 = time.time()
+        self._stop = False
+
+    # -- command channel (the /debug_cmd code-21 early exit:
+    # debugMsgcallback plan_manager.cpp:431-445 -> TrajOptimizer::exit
+    # -> earlyExitLMBM back_end_optimizer.hpp:1105-1111). JAX solves
+    # are compiled whole, so the abort granularity is the host-side
+    # stage/round boundary: the pipeline polls stop_requested between
+    # optimization rounds and returns its best-so-far trajectory,
+    # matching the reference's abort-emits-best-so-far semantics. ----
+    def request_stop(self):
+        self._stop = True
+        self.send("cmd", "stop_requested")
+
+    def clear_stop(self):
+        self._stop = False
+
+    @property
+    def stop_requested(self) -> bool:
+        return self._stop
 
     # -- events (DBSendNew "title@msg") -----------------------------------
     def send(self, source: str, message: str, **payload):

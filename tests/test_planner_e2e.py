@@ -162,3 +162,23 @@ def test_certify_and_pad():
     padded = Planner._pad_obstacles(np.zeros((3, 3)), bucket=8)
     assert padded.shape == (8, 3)
     assert np.all(padded[3:, 0] > 1e3)
+
+
+def test_debug_bus_early_exit():
+    """debug_cmd code-21 parity: stop_requested aborts refine rounds /
+    retries and plan() returns best-so-far (plan_manager.cpp:431-445,
+    back_end_optimizer.hpp:1105-1111)."""
+    from svsdf_tpu.utils.debugbus import BUS
+    cfg, pts = _scenario()
+    svs = SVSDFConfig(coarse_n=64, refine_rounds=1, gsip_iters=2,
+                      gsip_coarse_n=24, gsip_refine_rounds=0)
+    pl = Planner(cfg, pts, svs_cfg=svs)
+    BUS.request_stop()
+    try:
+        res = pl.plan(np.array([3.5, 3.5, 0.0]),
+                      np.array([20.5, 12.5, 0.0]),
+                      mid_iters=20, back_iters=30)
+        assert res is not None and res.success
+    finally:
+        BUS.clear_stop()
+    assert any(e.get("message") == "stop_requested" for e in BUS.events)
