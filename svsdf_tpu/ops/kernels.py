@@ -58,19 +58,34 @@ def yaw_bin(yaw_num: int, yaw: float) -> int:
 
 def rasterize_shape_kernels(shape: Shape2D, kernel_size: int,
                             yaw_num: int, resolution: float,
-                            safemargin: float) -> jnp.ndarray:
+                            safemargin: float,
+                            yaw_substeps: int = 1) -> jnp.ndarray:
     """(yaw_num, ks, ks) bool stencils: cell (a, b) at world offset
     res*(a-side, b-side) is inside the rotated shape within safemargin
     (initShape, Shape.hpp:386-430; safemargin = max(front_end_safeh,
-    res/2), Shape.hpp:399)."""
+    res/2), Shape.hpp:399).
+
+    yaw_substeps > 1 makes each bin's stencil CONSERVATIVE: the union
+    of the footprint over yaws sub-sampled across the bin's full
+    range, so a kernel-feasible pose is feasible for EVERY yaw the bin
+    represents, not just its center. The reference rasterizes only the
+    bin center, which admits poses that collide a few degrees off-bin
+    (observable on sdCutDisk: an A*-feasible corridor whose continuous
+    trajectory cannot avoid ~0.7 m penetration)."""
     side = (kernel_size - 1) // 2
     offs = (jnp.arange(kernel_size) - side) * resolution
     ox, oy = jnp.meshgrid(offs, offs, indexing="ij")
     pts = jnp.stack([ox, oy], axis=-1)                   # (ks, ks, 2)
     yaws = bin_yaw(yaw_num, jnp.arange(yaw_num))
+    half_bin = PI / yaw_num
+    k = max(int(yaw_substeps), 1)
+    deltas = (jnp.linspace(-half_bin, half_bin, k) if k > 1
+              else jnp.zeros((1,)))
 
     def one(yaw):
-        return shape.sdf_with_rot(pts, yaw) <= safemargin
+        def at(dy):
+            return shape.sdf_with_rot(pts, yaw + dy) <= safemargin
+        return jnp.any(jax.vmap(at)(deltas), axis=0)
 
     return jax.vmap(one)(yaws)
 

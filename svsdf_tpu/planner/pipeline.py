@@ -45,7 +45,8 @@ class Planner:
 
     def __init__(self, config: PlannerConfig, map_points: np.ndarray,
                  svs_cfg: SVSDFConfig = DEFAULT_CONFIG,
-                 use_transition_check: bool = True):
+                 use_transition_check: bool = True,
+                 conservative_yaw_substeps: int = 1):
         self.config = config
         self.svs_cfg = svs_cfg
         self.shape = shapes.shape_from_objpath(config.inputdata,
@@ -57,7 +58,8 @@ class Planner:
                          config.occupancy_resolution / 2.0)
         self._kernels = kops.rasterize_shape_kernels(
             self.shape, config.kernel_size, config.kernel_yaw_num,
-            config.occupancy_resolution, safemargin)
+            config.occupancy_resolution, safemargin,
+            yaw_substeps=conservative_yaw_substeps)
         occ2d = jnp.asarray(self.grid.occ2d)
         self.feas = np.asarray(kops.feasibility_maps(occ2d, self._kernels))
         self._occ2d_dev = occ2d
@@ -195,31 +197,39 @@ class Planner:
     def plan(self, start, goal, mid_iters: int = 100,
              back_iters: int = 200, certify_rounds: int = 2,
              max_active_add: int = 512,
-             homotopy_retries: int = 1,
+             certify_retries: int = 2,
              parlength: float = 3.0) -> PlanResult:
         """Full pipeline with map-wide certification.
 
-        If, after the certify-and-refine rounds, the trajectory still
-        sweeps occupied voxels (the A* corridor's homotopy class can be
-        genuinely infeasible for the continuous shape — the guard
-        ladder admits near-fitting corridors on purpose), the violated
-        cells are blocked in the occupancy slice and the WHOLE pipeline
-        re-runs once, forcing A* into a different corridor. Returns the
-        best attempt; `certified`/`min_cert_sdf` report the map-wide
-        certificate honestly (the reference never checks this)."""
+        Retry ladder when the certify-and-refine rounds leave the
+        trajectory sweeping occupied voxels:
+
+          attempt 0  as configured (reference-parity pipeline)
+          attempt 1  waypoint spacing / 3, same corridor — residual
+                     violations are usually under-actuation: 3 m
+                     spacing gives too little yaw control to thread a
+                     tight corridor (measured: sdHorseshoe certifies at
+                     1.0 m spacing, -0.20 -> +0.09; 1.5 m is not
+                     enough)
+          attempt 2+ additionally block the violated cells in the
+                     occupancy slice, forcing A* into a different
+                     homotopy class (measured: certifies
+                     sdOrientedVesica, -0.32 -> +0.70 at LOWER cost)
+
+        Returns the best attempt; `certified`/`min_cert_sdf` report the
+        map-wide certificate honestly (the reference never checks this
+        and silently emits colliding trajectories in these cases)."""
         from svsdf_tpu.utils.debugbus import BUS
         best = None
         occ2d_dev = None
-        n_attempts = 1 + max(homotopy_retries, 0)
+        pl = parlength
+        n_attempts = 1 + max(certify_retries, 0)
         for attempt in range(n_attempts):
             if attempt > 0 and BUS.stop_requested:
                 break   # debug_cmd early exit: best-so-far (§3.5)
-            # retries densify the waypoint grid: tight corridors need
-            # finer yaw control than the default 3 m spacing gives
             res = self._attempt(start, goal, occ2d_dev, mid_iters,
                                 back_iters, certify_rounds,
-                                max_active_add,
-                                parlength / (2.0 ** attempt))
+                                max_active_add, pl)
             if not res.success:
                 return best if best is not None else res
             if res.certified or math.isnan(res.min_cert_sdf):
@@ -228,8 +238,13 @@ class Planner:
                 best = res
             if attempt == n_attempts - 1:
                 break
-            # block the violated voxels (plus a one-cell dilation) and
-            # let A* find another homotopy class
+            if attempt == 0:
+                # densify to the measured-good 1 m spacing (3 m / 3):
+                # sdHorseshoe certifies at 1.0 m but not 1.5 m
+                pl = pl / 3.0
+                continue             # attempt 1: same corridor, denser
+            # attempt >= 2: block the violated voxels (plus a one-cell
+            # dilation) and let A* find another homotopy class
             pts, sdf = self.certify(res.traj)
             viol = pts[sdf < 0.0]
             if len(viol) == 0:

@@ -120,3 +120,41 @@ class GridMap:
             return np.zeros((0, 3))
         idx = np.asarray(list(seen.keys()))
         return self.cube_center(idx)
+
+    # -- ESDF convenience (GridMap3D::generateESDF3d + getSDFValue /
+    # getSDFValueWithGrad, Gridmap3D.cpp:366-497, GridMap3D.h:55-128).
+    # The field is computed once on device (ops/esdf.py) and cached.
+
+    def generate_esdf(self):
+        """Compute (and cache) the signed Euclidean distance field of
+        the 3-D occupancy grid, in world units."""
+        if getattr(self, "_esdf", None) is None:
+            from svsdf_tpu.ops import esdf as esdf_ops
+            self._esdf = esdf_ops.esdf(self.occ, self.resolution)
+        return self._esdf
+
+    def sdf_value(self, points):
+        """Trilinear map SDF at world points (getSDFValue)."""
+        from svsdf_tpu.ops import esdf as esdf_ops
+        return esdf_ops.interp_sdf(self.generate_esdf(), self.xyz_min,
+                                   self.resolution, points)
+
+    def sdf_value_with_grad(self, points):
+        """(sdf, dsdf/dp) at world points via jax.grad of the trilinear
+        interpolant — exact where the reference hand-derives the
+        trilinear gradient (getSDFValueWithGrad, GridMap3D.h:90-128)."""
+        import jax
+        from svsdf_tpu.ops import esdf as esdf_ops
+        field = self.generate_esdf()
+
+        def one(p):
+            return esdf_ops.interp_sdf(field, self.xyz_min,
+                                       self.resolution, p)
+
+        import jax.numpy as jnp
+        pts = jnp.atleast_2d(jnp.asarray(points))
+        vals = jax.vmap(one)(pts)
+        grads = jax.vmap(jax.grad(one))(pts)
+        if jnp.ndim(jnp.asarray(points)) == 1:
+            return vals[0], grads[0]
+        return vals, grads

@@ -153,3 +153,38 @@ def test_astar_on_sdheart_fixture():
     assert res.success
     assert len(res.path) > 40
     np.testing.assert_allclose(res.path[0][:2], [15.5, 62.508], atol=1e-6)
+
+
+def test_gridmap_esdf_convenience():
+    """GridMap.generate_esdf / sdf_value / sdf_value_with_grad parity
+    with the standalone ops (GridMap3D.h:55-128 API surface)."""
+    import jax.numpy as jnp
+    from svsdf_tpu.utils.gridmap import GridMap
+    occ = np.zeros((8, 8, 4), np.uint8)
+    occ[4, 4, :] = 1
+    g = GridMap(resolution=0.5, xyz_min=np.zeros(3), occ=occ)
+    f = np.asarray(g.generate_esdf())
+    assert f.shape == occ.shape and f[4, 4, 0] < 0 < f[0, 0, 0]
+    p = np.asarray([[0.6, 0.6, 0.5], [2.25, 2.25, 0.5]])
+    v = np.asarray(g.sdf_value(p))
+    assert v[0] > 0 and v[1] < 0.3
+    v2, grad = g.sdf_value_with_grad(p)
+    np.testing.assert_allclose(np.asarray(v2), v, atol=1e-6)
+    assert np.asarray(grad).shape == (2, 3)
+    # gradient points away from the occupied column at a free point
+    d = np.asarray(grad)[0][:2]
+    assert np.dot(d, np.asarray([0.6, 0.6]) - np.asarray([2.25, 2.25])) > 0
+
+
+def test_conservative_yaw_kernels_superset():
+    """yaw_substeps>1 stencils contain the bin-center stencil and grow
+    with the substep count (union over the bin's yaw range)."""
+    from svsdf_tpu.models import shapes
+    from svsdf_tpu.ops import kernels as kops
+    shape = shapes.make_shape("sdUnevenCapsule")
+    plain = np.asarray(kops.rasterize_shape_kernels(shape, 15, 8, 1.0,
+                                                    0.5))
+    cons = np.asarray(kops.rasterize_shape_kernels(shape, 15, 8, 1.0,
+                                                   0.5, yaw_substeps=5))
+    assert np.all(cons[plain])           # superset per bin
+    assert cons.sum() > plain.sum()      # strictly grows for this shape
