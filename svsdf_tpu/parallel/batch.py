@@ -132,6 +132,8 @@ def default_stages(total_iters: int = 50, ls: int = 2,
       ls=4 f32   2594 / 192     ls=4 bf16  2540 / 191
       ls=3 bf16  2656 / 280     ls=2 bf16  2688 / 346-408
       ls=1 bf16  2760 / 753-825
+      ls=2 bf16 + fast-stage parabola refinement (refine_rounds=0,
+      zero extra evals): 2706 / 410 (vs 2688 / 342 same-session A/B)
 
     The bf16 coarse scan is quality-neutral (only the bracketing
     argmin is low-precision; f32 refinement restores accuracy).
@@ -140,8 +142,12 @@ def default_stages(total_iters: int = 50, ls: int = 2,
     close that gap (the lanes converge to different minima, they are
     not under-converged). Default ls=2: within ~4% of the deepest
     search at twice the throughput; pass ls=4 for quality-critical
-    solves, ls=1 for maximum throughput."""
-    fast = SVSDFConfig(coarse_n=96, refine_rounds=1, refine_n=16,
+    solves, ls=1 for maximum throughput. The fast stage uses the free
+    table-parabola t* refinement — its wide-refinement round costs
+    per-point pose evals (one-hot piece gather) that rival the whole
+    shared-table coarse scan, for accuracy the polish stage redoes
+    anyway."""
+    fast = SVSDFConfig(coarse_n=96, refine_rounds=0, refine_n=16,
                        use_inside=False, scan_dtype=scan_dtype)
     polish = SVSDFConfig(coarse_n=128, refine_rounds=2, refine_n=16,
                          gsip_iters=3, gsip_coarse_n=32,
