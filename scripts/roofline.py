@@ -1,0 +1,130 @@
+"""Roofline report for the hot dispatches (SURVEY.md §7 phase 6).
+
+For each hot computation — the staged batched back-end solve and the
+dense SVSDF grid query — pulls XLA's compiled cost analysis (FLOPs,
+bytes accessed) and combines it with honestly-measured wall clock
+(per-rep host sync, O(0.1) perturbations; see bench.py) into achieved
+FLOP/s and arithmetic intensity, placed against the device's rough
+peak numbers.
+
+Usage:  python scripts/roofline.py            # TPU (axon) by default
+        JAX_PLATFORMS=cpu python scripts/roofline.py
+
+Prints one JSON object per workload.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+#: rough single-chip peaks for placing points on the roofline
+#: (v5e: ~197 TFLOP/s bf16 MXU, ~0.5-1 TFLOP/s f32 VPU-bound
+#: elementwise, ~819 GB/s HBM). The SVSDF workload is elementwise
+#: (VPU) + tiny matmuls, so the VPU/HBM lines are the relevant ones.
+PEAKS = {"hbm_GBps": 819.0, "vpu_f32_GFLOPs": 1000.0}
+
+
+def _measure(fn, args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    rng = np.random.default_rng(0)
+    for _ in range(reps):
+        pert = [a + jnp.asarray(rng.uniform(-0.1, 0.1, a.shape)
+                                .astype(np.float32))
+                if hasattr(a, "shape") and a.dtype in (jnp.float32,)
+                else a for a in args]
+        t0 = time.perf_counter()
+        out = fn(*pert)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _cost(fn, args):
+    c = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(c, (list, tuple)):
+        c = c[0]
+    return (float(c.get("flops", float("nan"))),
+            float(c.get("bytes accessed", float("nan"))))
+
+
+def report(name, fn, args):
+    flops, bytes_ = _cost(fn, args)
+    dt = _measure(jax.jit(fn), args)
+    gflops = flops / dt / 1e9
+    gbps = bytes_ / dt / 1e9
+    ai = flops / bytes_ if bytes_ else float("nan")
+    ridge = PEAKS["vpu_f32_GFLOPs"] / PEAKS["hbm_GBps"]
+    print(json.dumps({
+        "workload": name,
+        "wall_ms": round(dt * 1e3, 2),
+        "gflops_achieved": round(gflops, 1),
+        "hbm_GBps_achieved": round(gbps, 1),
+        "arithmetic_intensity": round(ai, 2),
+        "bound": "memory" if ai < ridge else "compute",
+        "pct_of_hbm_peak": round(100 * gbps / PEAKS["hbm_GBps"], 1),
+        "pct_of_vpu_peak": round(100 * gflops / PEAKS["vpu_f32_GFLOPs"],
+                                 1),
+    }), flush=True)
+
+
+def main():
+    from svsdf_tpu.models import shapes
+    from svsdf_tpu.ops import minco
+    from svsdf_tpu.ops.svsdf import SVSDFConfig, svsdf_query
+    from svsdf_tpu.parallel import batch as pbatch
+    from svsdf_tpu.planner.back_end import BackEndProblem
+    from svsdf_tpu.utils.config import PlannerConfig
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _problem
+
+    shape = shapes.make_shape("sdHeart")
+    cfg = PlannerConfig()
+
+    # workload 1: staged batched solve (the bench headline)
+    head, tail, obs, x0 = _problem(8, 64, 128)
+    probs = BackEndProblem(head, tail, obs)
+    stages = pbatch.default_stages(50)
+
+    def solve(xx):
+        return pbatch.plan_batch_staged(shape, xx, probs, cfg,
+                                        stages, 8).cost
+
+    report("staged_solve_b128", solve, (x0,))
+
+    # workload 2: dense SVSDF grid query
+    n = 6
+    h = jnp.asarray([[0.0, 0.0, 0.0], [0.0] * 3, [0.0] * 3], jnp.float32)
+    t = jnp.asarray([[10.0, 0.0, 1.0], [0.0] * 3, [0.0] * 3], jnp.float32)
+    frac = np.linspace(0, 1, n + 1)[1:-1]
+    wps = jnp.asarray(np.stack([10 * frac, np.sin(5 * frac), frac], -1),
+                      jnp.float32)
+    traj = minco.solve(jnp.full((n,), 1.5, jnp.float32), h, t, wps)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(np.stack([rng.uniform(-4, 14, 65536),
+                                rng.uniform(-8, 8, 65536)],
+                               -1).astype(np.float32))
+    svs = SVSDFConfig(coarse_n=256, refine_rounds=3)
+
+    def grid(p):
+        return svsdf_query(shape, traj, p, svs, with_inside=False).sdf
+
+    report("svsdf_grid_65k", grid, (pts,))
+
+
+if __name__ == "__main__":
+    main()
