@@ -203,6 +203,57 @@ def sharded_value_and_grad(shape: Shape2D, mesh: Mesh,
     return jax.jit(mapped)
 
 
+def sharded_plan_batch(shape: Shape2D, mesh: Mesh, cfg: PlannerConfig,
+                       svs_cfg: SVSDFConfig, n: int,
+                       max_iters: int = 50, max_linesearch: int = 2):
+    """FULL multi-chip solve: the nonsmooth L-BFGS loop runs inside
+    shard_map with scenarios data-parallel over 'scn' and each
+    scenario's obstacle set model-parallel over 'obs'. Every cost/grad
+    evaluation inside the optimizer psums over the obs axis (the
+    omp-critical merge riding ICI, each solve iteration), so the obs
+    shards advance one identical replicated solve in lockstep —
+    the cross-host batched-L-BFGS design of SURVEY.md §2.6/§5.
+
+    Returns f(x_b, head_b, tail_b, obs_b) -> (x, cost, iters,
+    converged), jitted over the mesh.
+    """
+    n_obs_shards = mesh.shape["obs"]
+
+    def local_cost(x, head, tail, obs_shard):
+        tau = x[:n]
+        wps = x[n:].reshape(n - 1, 3)
+        times = forward_t(tau)
+        traj = minco.solve(times, head, tail, wps)
+        pen, _ = back_end.svsdf_penalty(shape, traj, obs_shard, cfg,
+                                        svs_cfg)
+        base = minco.energy(traj) + cfg.rho * jnp.sum(times)
+        return base / n_obs_shards + pen
+
+    params = lbfgs.LBFGSParams(mem_size=cfg.mem_size,
+                               max_iterations=max_iters,
+                               g_epsilon=1e-7, past=3,
+                               delta=cfg.relCostTol,
+                               max_linesearch=max_linesearch)
+
+    def shard_fn(x_b, head_b, tail_b, obs_b):
+        def one(x0, head, tail, obs):
+            def fun(x):
+                f, g = jax.value_and_grad(local_cost)(x, head, tail,
+                                                      obs)
+                return (jax.lax.psum(f, axis_name="obs"),
+                        jax.lax.psum(g, axis_name="obs"))
+            res = lbfgs.minimize(fun, x0, params)
+            return res.x, res.f, res.n_iters, res.converged
+        return jax.vmap(one)(x_b, head_b, tail_b, obs_b)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("scn"), P("scn"), P("scn"), P("scn", "obs")),
+        out_specs=(P("scn"), P("scn"), P("scn"), P("scn")),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 def sharded_step(shape: Shape2D, mesh: Mesh, cfg: PlannerConfig,
                  svs_cfg: SVSDFConfig, n: int, lr: float = 1e-2):
     """One sharded gradient step over the full batch — the 'training
