@@ -182,3 +182,24 @@ def test_debug_bus_early_exit():
     finally:
         BUS.clear_stop()
     assert any(e.get("message") == "stop_requested" for e in BUS.events)
+
+
+def test_full_pipeline_mesh_shape(tmp_path):
+    """End-to-end plan with a MESH robot (.obj -> SDF grid -> device
+    sampling) — the reference's custom-obj path (BasicShape mesh SDF,
+    Shape.hpp:311-340) driven through the whole planner."""
+    from tests.test_mesh_sdf import _write_cylinder_obj
+    obj = str(tmp_path / "roundRobot.obj")
+    _write_cylinder_obj(obj, r=1.2)
+    cfg, pts = _scenario()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, inputdata=obj)
+    svs = SVSDFConfig(coarse_n=96, refine_rounds=1, gsip_iters=3,
+                      gsip_coarse_n=32, gsip_refine_rounds=1)
+    pl = Planner(cfg, pts, svs_cfg=svs)
+    assert pl.shape.name.startswith("mesh:")
+    res = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
+                  mid_iters=40, back_iters=80, certify_rounds=1,
+                  certify_retries=0)
+    assert res.success
+    assert res.min_cert_sdf > 0.0
