@@ -143,6 +143,63 @@ def bench_grid_queries(grid=256, coarse_n=256):
     return pts.shape[0] / dt, dt
 
 
+def bench_e2e(batch=256, n_pieces=8, n_obs=48, iters=40):
+    """Fully end-to-end batched plans/s: device wavefront front end +
+    resample + harvest + staged solve, one dispatch (plan_batch_e2e)."""
+    import jax.numpy as jnp
+    from svsdf_tpu.models import shapes
+    from svsdf_tpu.ops import kernels as kops
+    from svsdf_tpu.parallel import batch as pbatch
+    from svsdf_tpu.utils.config import PlannerConfig
+    from svsdf_tpu.utils.gridmap import GridMap
+    from svsdf_tpu.utils import mapgen
+
+    pts = mapgen.map_forest(res=0.5, seed=3, n_trees=14)
+    grid = GridMap.from_points(pts, 1.0, 1)
+    shape = shapes.make_shape("sdHeart")
+    cfg = PlannerConfig()
+    kernels = kops.rasterize_shape_kernels(shape, 15, 8, 1.0, 0.5)
+    feas = kops.feasibility_maps(jnp.asarray(grid.occ2d), kernels)
+    free = np.asarray(jnp.any(feas, axis=0))
+    ii, jj = np.nonzero(grid.occ2d)
+    occ_pts = jnp.asarray(np.stack(
+        [grid.xyz_min[0] + (ii + 0.5) * grid.resolution,
+         grid.xyz_min[1] + (jj + 0.5) * grid.resolution], -1),
+        jnp.float32)
+    # sample start/goal from ONE connected free component so every
+    # scenario is reachable (a big shape disconnects pockets of the
+    # forest; unreachable pairs would just measure the front end's
+    # failure path)
+    from svsdf_tpu.planner import wavefront
+    fi0, fj0 = np.nonzero(free)
+    seed_cell = jnp.asarray([fi0[len(fi0) // 2], fj0[len(fj0) // 2]])
+    dist = np.asarray(wavefront.distance_field(jnp.asarray(free),
+                                               seed_cell))
+    fi, fj = np.nonzero(free & (dist < 1e8))
+    rng = np.random.default_rng(0)
+    pick = lambda: np.stack([fi, fj], -1)[rng.integers(0, len(fi),
+                                                       batch)]
+    starts = jnp.asarray(pick(), jnp.int32)
+    goals = jnp.asarray(pick(), jnp.int32)
+    stages = pbatch.default_stages(iters)
+    run = lambda s, g: pbatch.plan_batch_e2e(
+        shape, feas, occ_pts, s, g, cfg, stages, n_pieces, n_obs,
+        grid.resolution, jnp.asarray(grid.xyz_min[:2], jnp.float32))
+    out = run(starts, goals)
+    float(out.cost.sum())
+    times = []
+    for _ in range(3):
+        s2 = jnp.asarray(pick(), jnp.int32)
+        g2 = jnp.asarray(pick(), jnp.int32)
+        t0 = time.perf_counter()
+        out = run(s2, g2)
+        float(out.cost.sum())
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    ok = float(np.mean(np.asarray(out.front_ok)))
+    return batch / dt, ok
+
+
 def bench_replan_latency(n_pieces=8, n_obs=64, iters=50, reps=15):
     """p50 single-plan replan latency (batch=1 staged solve) — the
     SURVEY.md §6 'p50 replan latency at 1 chip' metric."""
@@ -175,6 +232,11 @@ def main():
         replan_p50 = bench_replan_latency()
     except Exception:                              # noqa: BLE001
         replan_p50 = float("nan")
+    try:
+        e2e_per_s, e2e_ok = bench_e2e()
+    except Exception as e:                         # noqa: BLE001
+        print(f"# e2e bench failed: {str(e)[:120]}", file=sys.stderr)
+        e2e_per_s, e2e_ok = float("nan"), 0.0
     target_per_chip = 1000.0 / 16.0   # north star: 1000 plans/s on v5e-16
     print(json.dumps({
         "metric": "batched_svsdf_plans_per_s_per_chip",
@@ -182,6 +244,8 @@ def main():
         "unit": "plans/s",
         "vs_baseline": round(plans_per_s / target_per_chip, 3),
         "extra": {
+            "e2e_plans_per_s": round(e2e_per_s, 2),
+            "e2e_frontend_success_rate": round(e2e_ok, 3),
             "replan_latency_p50_ms": round(replan_p50 * 1e3, 2),
             "svsdf_grid_queries_per_s": round(queries_per_s, 1),
             "grid_query_batch_ms": round(grid_dt * 1e3, 2),

@@ -29,7 +29,7 @@ from svsdf_tpu.ops.svsdf import DEFAULT_CONFIG, SVSDFConfig
 from svsdf_tpu.planner import back_end
 from svsdf_tpu.utils import lbfgs
 from svsdf_tpu.utils.config import PlannerConfig
-from svsdf_tpu.utils.transforms import forward_t
+from svsdf_tpu.utils.transforms import backward_t, forward_t
 
 
 def make_mesh(n_scn: int, n_obs: int, devices=None) -> Mesh:
@@ -266,3 +266,121 @@ def sharded_step(shape: Shape2D, mesh: Mesh, cfg: PlannerConfig,
         return x_b - lr * grad, cost
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# fully-batched end-to-end planning (device wavefront front end +
+# staged SVSDF back end in ONE dispatch)
+# ---------------------------------------------------------------------------
+
+class E2EBatchResult(NamedTuple):
+    front_ok: jnp.ndarray     # (B,) wavefront reached the goal
+    x: jnp.ndarray            # (B, 4N-3) final decision vectors
+    cost: jnp.ndarray         # (B,)
+    cert_min: jnp.ndarray     # (B,) min SVSDF over harvested obstacles
+    head: jnp.ndarray         # (B, 3, 3)
+    tail: jnp.ndarray         # (B, 3, 3)
+    obstacles: jnp.ndarray    # (B, M, 2)
+
+
+def _resample_path(path_ij, yaw_bins, length, n, resolution, xy_min,
+                   yaw_num):
+    """(L, 2) padded cells + bins -> head/tail (3,3), (n-1, 3)
+    waypoints, evenly spaced by arc length, yaw unwrapped."""
+    L = path_ij.shape[0]
+    xy = xy_min[None] + (path_ij.astype(jnp.float32) + 0.5) * resolution
+    yaw_raw = 2.0 * jnp.pi * yaw_bins.astype(jnp.float32) / yaw_num \
+        - jnp.pi
+    # unwrap along the path (padding repeats the last entry -> dy 0)
+    dy = yaw_raw[1:] - yaw_raw[:-1]
+    dy = (dy + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+    yaw = jnp.concatenate([yaw_raw[:1], yaw_raw[0] + jnp.cumsum(dy)])
+    seg = jnp.linalg.norm(xy[1:] - xy[:-1], axis=-1)
+    cum = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(seg)])
+    total = cum[jnp.minimum(length - 1, L - 1)]
+    t = jnp.linspace(0.0, 1.0, n + 1) * total            # (n+1,)
+    idx = jnp.clip(jnp.searchsorted(cum, t, side="right") - 1,
+                   0, L - 2)
+    c0 = cum[idx]
+    w = jnp.where(seg[idx] > 1e-9, (t - c0) / jnp.maximum(seg[idx],
+                                                          1e-9), 0.0)
+    w = jnp.clip(w, 0.0, 1.0)[:, None]
+    pos = xy[idx] * (1 - w) + xy[idx + 1] * w            # (n+1, 2)
+    yw = yaw[idx] * (1 - w[:, 0]) + yaw[idx + 1] * w[:, 0]
+    states = jnp.concatenate([pos, yw[:, None]], axis=-1)  # (n+1, 3)
+    head = jnp.zeros((3, 3)).at[0].set(states[0])
+    tail = jnp.zeros((3, 3)).at[0].set(states[-1])
+    return head, tail, states[1:-1]
+
+
+def _harvest_topm(occ_pts, waypoints, m):
+    """(Mocc, 2) occupied voxel centers -> the m closest to the
+    waypoint polyline (fixed-shape batched AABB-harvest analogue)."""
+    d = jnp.linalg.norm(occ_pts[:, None, :] - waypoints[None, :, :2],
+                        axis=-1).min(axis=1)             # (Mocc,)
+    _, idx = jax.lax.top_k(-d, m)
+    return occ_pts[idx]
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(0, 5, 6, 7, 8, 11))
+def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
+                   cfg: PlannerConfig, stages: tuple, n: int,
+                   n_obs: int, resolution, xy_min,
+                   max_linesearch: int = 2) -> E2EBatchResult:
+    """Fully-batched END-TO-END planning in one dispatch: device
+    wavefront front end (geodesic field + greedy descent + yaw-bin
+    assignment), arc-length waypoint resampling to a fixed n-piece
+    spline, fixed-M nearest-obstacle harvest, and the staged nonsmooth
+    back-end solve — B complete plans advance together on the chip
+    with no host round-trips (SURVEY.md §7 phase 6; the reference
+    plans one scenario per process).
+
+    feas: (K, X, Y) yaw-bin feasibility maps (shared map);
+    occ_pts: (Mocc, 2) occupied voxel centers (pad with far dummies);
+    starts_ij/goals_ij: (B, 2) int cells. Returns E2EBatchResult.
+    """
+    from svsdf_tpu.ops.svsdf import svsdf_query
+    from svsdf_tpu.planner import wavefront
+    free = jnp.any(feas, axis=0)
+    resolution = jnp.asarray(resolution, jnp.float32)
+    xy_min = jnp.asarray(xy_min, jnp.float32)
+
+    def front(s, g):
+        wf = wavefront.plan(free, feas, s, g,
+                            max_len=int(free.shape[0] + free.shape[1]))
+        head, tail, wps = _resample_path(
+            wf.path_ij, wf.yaw_bins, wf.length, n, resolution, xy_min,
+            feas.shape[0])
+        obs = _harvest_topm(occ_pts, wps, n_obs)
+        tau = backward_t(jnp.full((n,), cfg.inittime, jnp.float32))
+        x0 = jnp.concatenate([tau, wps.reshape(-1)])
+        return wf.success, head, tail, obs, x0
+
+    ok, head_b, tail_b, obs_b, x0_b = jax.vmap(front)(starts_ij,
+                                                      goals_ij)
+
+    def solve_one(x0, head, tail, obstacles):
+        prob = back_end.BackEndProblem(head, tail, obstacles)
+        x = x0
+        res = None
+        for stage in stages:
+            svs_cfg, iters = stage[0], stage[1]
+            ls = stage[2] if len(stage) > 2 else max_linesearch
+            cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
+            params = lbfgs.LBFGSParams(
+                mem_size=cfg.mem_size, max_iterations=iters,
+                g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
+                max_linesearch=ls)
+            res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
+            x = res.x
+        times = forward_t(x[:n])
+        wps = x[n:].reshape(n - 1, 3)
+        traj = minco.solve(times, head, tail, wps)
+        cert = svsdf_query(shape, traj, obstacles, stages[-1][0],
+                           with_inside=False).sdf.min()
+        return x, res.f, cert
+
+    xs, costs, certs = jax.vmap(solve_one)(x0_b, head_b, tail_b,
+                                           obs_b)
+    return E2EBatchResult(ok, xs, costs, certs, head_b, tail_b, obs_b)

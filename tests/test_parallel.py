@@ -137,3 +137,45 @@ def test_sharded_full_solve_matches_unsharded():
             x0, head, tail, obs)
     np.testing.assert_allclose(np.asarray(f0s), np.asarray(f0),
                                rtol=1e-9)
+
+
+def test_plan_batch_e2e_device_pipeline():
+    """Fully-batched end-to-end planning (wavefront front end +
+    resample + harvest + staged solve) in one dispatch."""
+    from svsdf_tpu.ops import kernels as kops
+    from svsdf_tpu.utils.gridmap import GridMap
+
+    # corridor map with a gap (same layout as test_planner_e2e)
+    pts = []
+    for x in range(24):
+        for z in range(2):
+            if not (10 <= x <= 13):
+                pts.append((x + 0.5, 7.2, z + 0.5))
+    pts += [(0.05, 0.05, 0.05), (23.9, 15.9, 1.9)]
+    grid = GridMap.from_points(np.asarray(pts), 1.0, 1)
+    shape = shapes.make_shape("Circle")
+    kernels = kops.rasterize_shape_kernels(shape, 7, 4, 1.0, 0.5)
+    feas = kops.feasibility_maps(jnp.asarray(grid.occ2d), kernels)
+
+    ii, jj = np.nonzero(grid.occ2d)
+    occ_pts = np.stack([grid.xyz_min[0] + (ii + 0.5) * 1.0,
+                        grid.xyz_min[1] + (jj + 0.5) * 1.0], -1)
+    occ_pts = jnp.asarray(occ_pts, jnp.float32)
+
+    starts = jnp.asarray([[3, 3], [2, 5], [4, 2]], jnp.int32)
+    goals = jnp.asarray([[20, 12], [21, 11], [19, 13]], jnp.int32)
+    svs = SVSDFConfig(coarse_n=48, refine_rounds=1, refine_n=8,
+                      use_inside=False, use_pallas=False)
+    stages = ((svs, 15, 2),)
+    out = pbatch.plan_batch_e2e(shape, feas, occ_pts, starts, goals,
+                                CFG, stages, 6, 16, 1.0,
+                                jnp.asarray(grid.xyz_min[:2],
+                                            jnp.float32))
+    assert bool(jnp.all(out.front_ok))
+    assert bool(jnp.all(jnp.isfinite(out.cost)))
+    # every plan clears its harvested obstacle set
+    assert float(out.cert_min.min()) > 0.0
+    # endpoints honored: tail position is the goal cell center
+    goal_xy = grid.xyz_min[None, :2] + (np.asarray(goals) + 0.5) * 1.0
+    np.testing.assert_allclose(np.asarray(out.tail[:, 0, :2]), goal_xy,
+                               atol=1e-4)
