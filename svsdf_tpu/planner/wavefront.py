@@ -119,7 +119,13 @@ def extract_path(dist, start_ij, max_len: int = 512):
         nd = dist[nclip[:, 0], nclip[:, 1]] + costs
         nd = jnp.where(ok, nd, INF)
         j = jnp.argmin(nd)
-        improves = nd[j] < here + 1e-6
+        # tolerance: along an exact geodesic dist[n] + c == here, but
+        # f32 accumulation over ~100-step fields drifts by O(1e-4) —
+        # a 1e-6 tolerance stalls long paths at their first cell. The
+        # minimum step cost is 1.0, so anything << 1 is safe. Gate to
+        # finite fields so INF (unreachable) lanes never wander.
+        improves = ((nd[j] < here + 1e-3 + 1e-5 * here)
+                    & (nd[j] < 0.5 * INF))
         at_goal = here <= 0.0
         move = (~done) & (~at_goal) & improves
         ij_n = jnp.where(move, nbr[j], ij)
