@@ -384,3 +384,27 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
     xs, costs, certs = jax.vmap(solve_one)(x0_b, head_b, tail_b,
                                            obs_b)
     return E2EBatchResult(ok, xs, costs, certs, head_b, tail_b, obs_b)
+
+
+def sharded_plan_batch_e2e(shape: Shape2D, mesh: Mesh,
+                           cfg: PlannerConfig, stages: tuple, n: int,
+                           n_obs: int, resolution, xy_min,
+                           max_linesearch: int = 2):
+    """Multi-chip end-to-end planning: scenarios sharded over the
+    mesh's 'scn' axis (the front end has no cross-scenario coupling,
+    so e2e planning is embarrassingly data-parallel); the map products
+    (feas, occ_pts) are replicated. Returns a jitted
+    f(feas, occ_pts, starts_ij, goals_ij) -> E2EBatchResult with
+    batch-sharded outputs."""
+    def shard_fn(feas, occ_pts, starts, goals):
+        return plan_batch_e2e(shape, feas, occ_pts, starts, goals,
+                              cfg, stages, n, n_obs, resolution,
+                              xy_min, max_linesearch)
+
+    spec_b = E2EBatchResult(P("scn"), P("scn"), P("scn"), P("scn"),
+                            P("scn"), P("scn"), P("scn"))
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P("scn"), P("scn")),
+        out_specs=spec_b, check_vma=False)
+    return jax.jit(mapped)

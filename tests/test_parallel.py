@@ -179,3 +179,40 @@ def test_plan_batch_e2e_device_pipeline():
     goal_xy = grid.xyz_min[None, :2] + (np.asarray(goals) + 0.5) * 1.0
     np.testing.assert_allclose(np.asarray(out.tail[:, 0, :2]), goal_xy,
                                atol=1e-4)
+
+
+def test_sharded_plan_batch_e2e_matches_single_device():
+    """Sharded e2e planning (scn-axis data parallel) matches the
+    single-device call on the same inputs."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from svsdf_tpu.ops import kernels as kops
+    from svsdf_tpu.utils.gridmap import GridMap
+
+    pts = [(x + 0.5, 7.2, 0.5) for x in range(24)
+           if not (10 <= x <= 13)]
+    pts += [(0.05, 0.05, 0.05), (23.9, 15.9, 1.9)]
+    grid = GridMap.from_points(np.asarray(pts), 1.0, 1)
+    shape = shapes.make_shape("Circle")
+    kernels = kops.rasterize_shape_kernels(shape, 7, 4, 1.0, 0.5)
+    feas = kops.feasibility_maps(jnp.asarray(grid.occ2d), kernels)
+    ii, jj = np.nonzero(grid.occ2d)
+    occ_pts = jnp.asarray(np.stack(
+        [grid.xyz_min[0] + (ii + 0.5), grid.xyz_min[1] + (jj + 0.5)],
+        -1), jnp.float32)
+    starts = jnp.asarray([[3, 3], [2, 5], [4, 2], [3, 4]], jnp.int32)
+    goals = jnp.asarray([[20, 12], [21, 11], [19, 13], [20, 11]],
+                        jnp.int32)
+    svs = SVSDFConfig(coarse_n=48, refine_rounds=1, refine_n=8,
+                      use_inside=False, use_pallas=False)
+    stages = ((svs, 10, 2),)
+    xy_min = jnp.asarray(grid.xyz_min[:2], jnp.float32)
+    mesh = pbatch.make_mesh(4, 1)
+    run = pbatch.sharded_plan_batch_e2e(shape, mesh, CFG, stages, 6,
+                                        16, 1.0, xy_min)
+    out_s = run(feas, occ_pts, starts, goals)
+    out_1 = pbatch.plan_batch_e2e(shape, feas, occ_pts, starts, goals,
+                                  CFG, stages, 6, 16, 1.0, xy_min)
+    assert bool(jnp.all(out_s.front_ok))
+    np.testing.assert_allclose(np.asarray(out_s.cost),
+                               np.asarray(out_1.cost), rtol=2e-3)
