@@ -104,11 +104,12 @@ def plan_batch_staged(shape: Shape2D, x0_b, problems_b,
         for stage in stages:
             svs_cfg, iters = stage[0], stage[1]
             ls = stage[2] if len(stage) > 2 else max_linesearch
+            ls_cand = stage[3] if len(stage) > 3 else 0
             cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
             params = lbfgs.LBFGSParams(
                 mem_size=cfg.mem_size, max_iterations=iters,
                 g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
-                max_linesearch=ls)
+                max_linesearch=ls, ls_candidates=ls_cand)
             res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
             x = res.x
         times = forward_t(x[:n])
@@ -146,7 +147,15 @@ def default_stages(total_iters: int = 50, ls: int = 2,
     table-parabola t* refinement — its wide-refinement round costs
     per-point pose evals (one-hot piece gather) that rival the whole
     shared-table coarse scan, for accuracy the polish stage redoes
-    anyway."""
+    anyway.
+
+    Negative result worth keeping: the PARALLEL line search
+    (ls_candidates>0 via 4-element stage tuples — C trial steps in one
+    batched eval, depth 1) LOSES at batch>=256: 297/229/155 plans/s at
+    C=3/4/6 vs 343 sequential ls=2 (same session) — at saturating
+    batch the solve is compute-bound, so C-fold extra cost evals
+    outweigh the removed sequential depth. It may still win for small
+    batches / low-latency replans."""
     fast = SVSDFConfig(coarse_n=96, refine_rounds=0, refine_n=16,
                        use_inside=False, scan_dtype=scan_dtype)
     polish = SVSDFConfig(coarse_n=128, refine_rounds=2, refine_n=16,
@@ -367,11 +376,12 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
         for stage in stages:
             svs_cfg, iters = stage[0], stage[1]
             ls = stage[2] if len(stage) > 2 else max_linesearch
+            ls_cand = stage[3] if len(stage) > 3 else 0
             cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
             params = lbfgs.LBFGSParams(
                 mem_size=cfg.mem_size, max_iterations=iters,
                 g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
-                max_linesearch=ls)
+                max_linesearch=ls, ls_candidates=ls_cand)
             res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
             x = res.x
         times = forward_t(x[:n])

@@ -216,3 +216,17 @@ def test_sharded_plan_batch_e2e_matches_single_device():
     assert bool(jnp.all(out_s.front_ok))
     np.testing.assert_allclose(np.asarray(out_s.cost),
                                np.asarray(out_1.cost), rtol=2e-3)
+
+
+def test_plan_batch_staged_parallel_linesearch():
+    """4-element stage tuples (cfg, iters, ls, ls_candidates) select
+    the batched parallel line search; results stay finite and sane."""
+    head, tail, obs, x0 = _problem(4, 8)
+    probs = back_end.BackEndProblem(head, tail, obs)
+    stages = ((SVS, 8, 2, 4),)
+    out = pbatch.plan_batch_staged(shapes.make_shape("Circle"), x0,
+                                   probs, CFG, stages, N)
+    assert bool(jnp.all(jnp.isfinite(out.cost)))
+    ref = pbatch.plan_batch(shapes.make_shape("Circle"), x0, probs,
+                            CFG, SVS, N, 8)
+    assert float(out.cost.mean()) <= float(ref.cost.mean()) * 1.5
