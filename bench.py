@@ -202,14 +202,16 @@ def bench_e2e(batch=256, n_pieces=8, n_obs=48, iters=40):
 
 def bench_replan_latency(n_pieces=8, n_obs=64, iters=50, reps=15):
     """p50 single-plan replan latency (batch=1 staged solve) — the
-    SURVEY.md §6 'p50 replan latency at 1 chip' metric."""
+    SURVEY.md §6 'p50 replan latency at 1 chip' metric. Uses the
+    low-latency schedule (parallel line search: width for depth —
+    measured 72 ms vs 150 ms with the throughput schedule)."""
     from svsdf_tpu.models import shapes
     from svsdf_tpu.parallel import batch as pbatch
     from svsdf_tpu.planner.back_end import BackEndProblem
     from svsdf_tpu.utils.config import PlannerConfig
 
     cfg = PlannerConfig()
-    stages = pbatch.default_stages(iters)
+    stages = pbatch.default_stages_lowlat(iters)
     shape = shapes.make_shape("sdHeart")
     head, tail, obs, x0 = _problem(n_pieces, n_obs, reps + 1)
     lat = []

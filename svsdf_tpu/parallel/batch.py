@@ -165,6 +165,26 @@ def default_stages(total_iters: int = 50, ls: int = 2,
     return ((fast, total_iters - k, ls), (polish, k, ls))
 
 
+def default_stages_lowlat(total_iters: int = 50,
+                          ls_candidates: int = 4,
+                          scan_dtype: str | None = "bfloat16") -> tuple:
+    """Low-LATENCY schedule for small batches / single replans: same
+    two stages as default_stages but with the PARALLEL line search
+    (C trial steps in one batched eval, sequential depth 1). At
+    batch=1 the solve is depth-bound, so width-for-depth wins big:
+    measured p50 single-plan replan 72 ms vs 150 ms sequential
+    (C=4, v5e). At saturating batch use default_stages instead (the
+    same trade loses 15-55% there — see its docstring)."""
+    fast = SVSDFConfig(coarse_n=96, refine_rounds=0, refine_n=16,
+                       use_inside=False, scan_dtype=scan_dtype)
+    polish = SVSDFConfig(coarse_n=128, refine_rounds=2, refine_n=16,
+                         gsip_iters=3, gsip_coarse_n=32,
+                         gsip_refine_rounds=1, scan_dtype=scan_dtype)
+    k = max(total_iters // 5, 5)
+    return ((fast, total_iters - k, 2, ls_candidates),
+            (polish, k, 2, ls_candidates))
+
+
 # ---------------------------------------------------------------------------
 # multi-chip sharded cost/gradient (scn x obs mesh)
 # ---------------------------------------------------------------------------
