@@ -203,3 +203,22 @@ def test_full_pipeline_mesh_shape(tmp_path):
                   certify_retries=0)
     assert res.success
     assert res.min_cert_sdf > 0.0
+
+
+def test_online_replanner():
+    """Compile-once replanner: fixed shapes, repeated replans reuse
+    the cached executable, results are certified trajectories."""
+    from svsdf_tpu.planner.online import OnlineReplanner
+    from svsdf_tpu.utils import trajectory as trj
+    cfg, pts = _scenario()
+    rp = OnlineReplanner(cfg, pts, n_pieces=6, n_obs=16,
+                         iters=20)
+    r1 = rp.replan((3.5, 3.5), (20.5, 12.5))
+    assert r1.success and np.isfinite(r1.cost)
+    assert r1.cert_min > 0.0
+    # endpoints: trajectory starts/ends at the requested cells
+    p0 = np.asarray(trj.pos(r1.traj, 0.0))[:2]
+    np.testing.assert_allclose(p0, [3.5, 3.5], atol=0.51)
+    # second replan with a different goal reuses the executable
+    r2 = rp.replan((3.5, 3.5), (18.5, 11.5))
+    assert r2.success and r2.cert_min > 0.0
