@@ -2,7 +2,7 @@
 demos (SweptVolumeManager::getScale/getDotScale, sw_manager.hpp:
 495-518, shipped commented-out behind the `useScale` flag).
 
-A star robot breathing with s(t) = 1 + 0.35 sin(0.6 t) plans through
+A star robot breathing with s(t) = 1 + 0.35 sin(0.9 t) plans through
 a gap narrower than its fully-inflated diameter: the optimizer times
 the passage so the robot is contracted at the gap (the swept-volume
 SDF sees the time-varying scale exactly, with d(scale)/dt from
@@ -32,7 +32,6 @@ def main():
     from svsdf_tpu.planner import back_end, mid_end
     from svsdf_tpu.utils import trajectory as trj
     from svsdf_tpu.utils.config import PlannerConfig
-    from svsdf_tpu.utils.transforms import forward_t
 
     scale_fn = lambda t: 1.0 + 0.35 * jnp.sin(0.9 * t)     # noqa: E731
     shape = shapes.make_scaled_shape("star", scale_fn,

@@ -46,7 +46,10 @@ def run_one(name: str) -> dict:
         rec["plan_s"] = round(time.time() - t0, 1)
         rec["success"] = bool(res.success)
         rec["certified"] = bool(res.certified)
-        rec["min_cert_sdf"] = round(float(res.min_cert_sdf), 4)
+        m = float(res.min_cert_sdf)
+        # None (JSON null) for unexamined plans — NaN is not valid
+        # strict JSON and breaks downstream parsers
+        rec["min_cert_sdf"] = round(m, 4) if np.isfinite(m) else None
         if not res.success:
             return rec
         rec["astar_len"] = int(len(res.astar_path))

@@ -78,7 +78,13 @@ def rasterize_shape_kernels(shape: Shape2D, kernel_size: int,
     pts = jnp.stack([ox, oy], axis=-1)                   # (ks, ks, 2)
     yaws = bin_yaw(yaw_num, jnp.arange(yaw_num))
     half_bin = PI / yaw_num
+    # force an odd sample count so the bin-CENTER yaw (the one the
+    # planner actually assigns) is always in the union — an even
+    # linspace(-h, h, k) excludes 0 and could be LESS safe than the
+    # plain stencil
     k = max(int(yaw_substeps), 1)
+    if k > 1 and k % 2 == 0:
+        k += 1
     deltas = (jnp.linspace(-half_bin, half_bin, k) if k > 1
               else jnp.zeros((1,)))
 

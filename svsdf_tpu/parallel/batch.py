@@ -98,23 +98,9 @@ def plan_batch_staged(shape: Shape2D, x0_b, problems_b,
     DEFAULT_STAGES.
     """
     def solve_one(x0, head, tail, obstacles):
-        prob = back_end.BackEndProblem(head, tail, obstacles)
-        x = x0
-        res = None
-        for stage in stages:
-            svs_cfg, iters = stage[0], stage[1]
-            ls = stage[2] if len(stage) > 2 else max_linesearch
-            ls_cand = stage[3] if len(stage) > 3 else 0
-            cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
-            params = lbfgs.LBFGSParams(
-                mem_size=cfg.mem_size, max_iterations=iters,
-                g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
-                max_linesearch=ls, ls_candidates=ls_cand)
-            res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
-            x = res.x
-        times = forward_t(x[:n])
-        wps = x[n:].reshape(n - 1, 3)
-        traj = minco.solve(times, head, tail, wps)
+        x, res, traj = _staged_solve(shape, cfg, stages, n,
+                                     max_linesearch, x0, head, tail,
+                                     obstacles)
         return back_end.BackEndResult(traj, x, res.f, res.n_iters,
                                       res.converged)
 
@@ -339,24 +325,51 @@ def _resample_path(path_ij, yaw_bins, length, n, resolution, xy_min,
     states = jnp.concatenate([pos, yw[:, None]], axis=-1)  # (n+1, 3)
     head = jnp.zeros((3, 3)).at[0].set(states[0])
     tail = jnp.zeros((3, 3)).at[0].set(states[-1])
-    return head, tail, states[1:-1]
+    return head, tail, states
 
 
-def _harvest_topm(occ_pts, waypoints, m):
-    """(Mocc, 2) occupied voxel centers -> the m closest to the
-    waypoint polyline (fixed-shape batched AABB-harvest analogue)."""
-    d = jnp.linalg.norm(occ_pts[:, None, :] - waypoints[None, :, :2],
+def _harvest_topm(occ_pts, states, m):
+    """(Mocc, 2) occupied voxel centers -> the m closest to the path
+    states — INCLUDING head/tail, so walls adjacent to the pinned
+    endpoints enter the penalty and the certificate (fixed-shape
+    batched AABB-harvest analogue)."""
+    d = jnp.linalg.norm(occ_pts[:, None, :] - states[None, :, :2],
                         axis=-1).min(axis=1)             # (Mocc,)
     _, idx = jax.lax.top_k(-d, m)
     return occ_pts[idx]
 
 
+def _staged_solve(shape, cfg, stages, n, max_linesearch,
+                  x0, head, tail, obstacles):
+    """Warm-started stage loop shared by plan_batch_staged and
+    plan_batch_e2e. stages entries: (svs_cfg, iters[, ls[, ls_cand]])."""
+    prob = back_end.BackEndProblem(head, tail, obstacles)
+    x = x0
+    res = None
+    for stage in stages:
+        svs_cfg, iters = stage[0], stage[1]
+        ls = stage[2] if len(stage) > 2 else max_linesearch
+        ls_cand = stage[3] if len(stage) > 3 else 0
+        cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
+        params = lbfgs.LBFGSParams(
+            mem_size=cfg.mem_size, max_iterations=iters,
+            g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
+            max_linesearch=ls, ls_candidates=ls_cand)
+        res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
+        x = res.x
+    times = forward_t(x[:n])
+    wps = x[n:].reshape(n - 1, 3)
+    traj = minco.solve(times, head, tail, wps)
+    return x, res, traj
+
+
 @functools.partial(jax.jit,
-                   static_argnums=(0, 5, 6, 7, 8, 11))
+                   static_argnums=(0, 5, 6, 7, 8, 11, 12))
 def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
                    cfg: PlannerConfig, stages: tuple, n: int,
                    n_obs: int, resolution, xy_min,
-                   max_linesearch: int = 2) -> E2EBatchResult:
+                   max_linesearch: int = 2,
+                   max_path_len: int | None = None) -> E2EBatchResult:
     """Fully-batched END-TO-END planning in one dispatch: device
     wavefront front end (geodesic field + greedy descent + yaw-bin
     assignment), arc-length waypoint resampling to a fixed n-piece
@@ -367,46 +380,40 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
 
     feas: (K, X, Y) yaw-bin feasibility maps (shared map);
     occ_pts: (Mocc, 2) occupied voxel centers (pad with far dummies);
-    starts_ij/goals_ij: (B, 2) int cells. Returns E2EBatchResult.
+    starts_ij/goals_ij: (B, 2) int cells. max_path_len bounds the
+    extracted path (and the distance-field sweep count): the default
+    4*(X+Y) covers serpentine corridors several map-lengths long;
+    raise it for maze-like maps (a geodesic can be up to X*Y/2 cells).
+    Returns E2EBatchResult.
     """
     from svsdf_tpu.ops.svsdf import svsdf_query
     from svsdf_tpu.planner import wavefront
     free = jnp.any(feas, axis=0)
     resolution = jnp.asarray(resolution, jnp.float32)
     xy_min = jnp.asarray(xy_min, jnp.float32)
+    if max_path_len is None:
+        max_path_len = 4 * int(free.shape[0] + free.shape[1])
 
     def front(s, g):
-        wf = wavefront.plan(free, feas, s, g,
-                            max_len=int(free.shape[0] + free.shape[1]))
-        head, tail, wps = _resample_path(
-            wf.path_ij, wf.yaw_bins, wf.length, n, resolution, xy_min,
-            feas.shape[0])
-        obs = _harvest_topm(occ_pts, wps, n_obs)
+        dist = wavefront.distance_field(free, g,
+                                        max_iters=max_path_len + 8)
+        path, length, success = wavefront.extract_path(
+            dist, s, max_path_len)
+        yaws = wavefront.assign_yaws(feas, path)
+        head, tail, states = _resample_path(
+            path, yaws, length, n, resolution, xy_min, feas.shape[0])
+        obs = _harvest_topm(occ_pts, states, n_obs)
         tau = backward_t(jnp.full((n,), cfg.inittime, jnp.float32))
-        x0 = jnp.concatenate([tau, wps.reshape(-1)])
-        return wf.success, head, tail, obs, x0
+        x0 = jnp.concatenate([tau, states[1:-1].reshape(-1)])
+        return success, head, tail, obs, x0
 
     ok, head_b, tail_b, obs_b, x0_b = jax.vmap(front)(starts_ij,
                                                       goals_ij)
 
     def solve_one(x0, head, tail, obstacles):
-        prob = back_end.BackEndProblem(head, tail, obstacles)
-        x = x0
-        res = None
-        for stage in stages:
-            svs_cfg, iters = stage[0], stage[1]
-            ls = stage[2] if len(stage) > 2 else max_linesearch
-            ls_cand = stage[3] if len(stage) > 3 else 0
-            cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
-            params = lbfgs.LBFGSParams(
-                mem_size=cfg.mem_size, max_iterations=iters,
-                g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
-                max_linesearch=ls, ls_candidates=ls_cand)
-            res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
-            x = res.x
-        times = forward_t(x[:n])
-        wps = x[n:].reshape(n - 1, 3)
-        traj = minco.solve(times, head, tail, wps)
+        x, res, traj = _staged_solve(shape, cfg, stages, n,
+                                     max_linesearch, x0, head, tail,
+                                     obstacles)
         cert = svsdf_query(shape, traj, obstacles, stages[-1][0],
                            with_inside=False).sdf.min()
         return x, res.f, cert

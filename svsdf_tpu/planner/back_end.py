@@ -56,12 +56,20 @@ class BackEndProblem(NamedTuple):
 
 def svsdf_penalty(shape: Shape2D, traj: trj.Trajectory, obstacles,
                   cfg: PlannerConfig, svs_cfg: SVSDFConfig,
-                  mu: float = 0.01):
+                  mu: float = 0.01, weight_p=None, safety_hor=None):
     """Differentiable SVSDF safety penalty over obstacle points
     (addSaftyPenaOnSweptVolumeParallelTrueSDF,
     back_end_optimizer.hpp:774-868). `mu` is the hinge smoothing; the
     reference hardcodes 0.01 (grad_cost_p_sw), larger values are used
-    by the continuation schedule to widen the basin."""
+    by the continuation schedule to widen the basin.
+
+    weight_p / safety_hor optionally override the config values as
+    TRACED scalars — the certify-refine escalation passes them here so
+    every escalation round reuses one compiled executable instead of
+    minting a new static config (= a full back-end recompile) per
+    round."""
+    wp = cfg.weight_p if weight_p is None else weight_p
+    sh = cfg.safety_hor if safety_hor is None else safety_hor
     # --- oracle under stop_gradient (envelope theorem at t*) ---
     traj_sg = trj.Trajectory(jax.lax.stop_gradient(traj.coeffs),
                              jax.lax.stop_gradient(traj.durations))
@@ -89,13 +97,13 @@ def svsdf_penalty(shape: Shape2D, traj: trj.Trajectory, obstacles,
     # body-frame gradient at the linearization point: g_rel = R0^T g_w
     g_rel0 = jnp.einsum("mij,mi->mj", R0, g_w)
     sdf_lin = sdf0 + jnp.sum(g_rel0 * (p_rel - p_rel0), axis=-1)
-    pen = smoothed_l1(cfg.safety_hor - sdf_lin, mu)
-    return cfg.weight_p * jnp.sum(pen), res
+    pen = smoothed_l1(sh - sdf_lin, mu)
+    return wp * jnp.sum(pen), res
 
 
 def make_cost_fn(shape: Shape2D, problem: BackEndProblem,
                  cfg: PlannerConfig, svs_cfg: SVSDFConfig, n: int,
-                 mu: float = 0.01):
+                 mu: float = 0.01, weight_p=None, safety_hor=None):
     def cost(x):
         tau = x[:n]
         wps = x[n:].reshape(n - 1, 3)
@@ -103,7 +111,8 @@ def make_cost_fn(shape: Shape2D, problem: BackEndProblem,
         traj = minco.solve(times, problem.head, problem.tail, wps)
         c = minco.energy(traj)
         pen, _ = svsdf_penalty(shape, traj, problem.obstacles, cfg,
-                               svs_cfg, mu=mu)
+                               svs_cfg, mu=mu, weight_p=weight_p,
+                               safety_hor=safety_hor)
         return c + pen + cfg.rho * jnp.sum(times)
 
     return cost
@@ -119,7 +128,8 @@ class BackEndResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
 def _run(shape, x0, problem, cfg, svs_cfg, n: int, max_iters: int,
-         mu_schedule: tuple, solver: str = "lbfgs"):
+         mu_schedule: tuple, solver: str = "lbfgs",
+         weight_p=None, safety_hor=None):
     """Smoothing-continuation solve: the hinge smoothing mu anneals
     from wide to the reference's 0.01. The wide stages give the
     nonsmooth landscape a broad basin (the role LMBM's bundle plays in
@@ -131,7 +141,8 @@ def _run(shape, x0, problem, cfg, svs_cfg, n: int, max_iters: int,
     total_iters = jnp.asarray(0)
     res = None
     for i, mu in enumerate(mu_schedule):
-        cost = make_cost_fn(shape, problem, cfg, svs_cfg, n, mu=mu)
+        cost = make_cost_fn(shape, problem, cfg, svs_cfg, n, mu=mu,
+                            weight_p=weight_p, safety_hor=safety_hor)
         iters = max_iters if i == len(mu_schedule) - 1 else max(
             max_iters // 2, 40)
         if solver == "lmbm":
@@ -159,17 +170,26 @@ def optimize(shape: Shape2D, head, tail, obstacles, opt_x,
              svs_cfg: SVSDFConfig = DEFAULT_CONFIG,
              max_iters: int = 200,
              mu_schedule: tuple = (0.5, 0.1, 0.01),
-             solver: str = "lbfgs") -> BackEndResult:
+             solver: str = "lbfgs",
+             weight_p=None, safety_hor=None) -> BackEndResult:
     """Run the back end from the mid end's warm-start decision vector
     (optimize_traj_lmbm, back_end_optimizer.cpp:3-96).
 
     obstacles: (M, >=2) obstacle points; the z/yaw component is dropped
     (pos_eva(2) = 0, back_end_optimizer.hpp:792).
+
+    weight_p / safety_hor override the config values as TRACED
+    scalars: penalty-escalation callers (the certify-refine loop) pass
+    them here so every escalation reuses one compiled executable.
     """
     opt_x = jnp.asarray(opt_x)
     n = (opt_x.shape[0] + 3) // 4
     obstacles = jnp.asarray(obstacles)[:, :2]
     problem = BackEndProblem(jnp.asarray(head), jnp.asarray(tail),
                              obstacles)
+    wp = jnp.asarray(cfg.weight_p if weight_p is None else weight_p,
+                     jnp.float32)
+    sh = jnp.asarray(cfg.safety_hor if safety_hor is None
+                     else safety_hor, jnp.float32)
     return _run(shape, opt_x, problem, cfg, svs_cfg, n, max_iters,
-                tuple(mu_schedule), solver)
+                tuple(mu_schedule), solver, wp, sh)

@@ -8,7 +8,6 @@ generatePath (:96) / generateTraj (:128) on each (start, goal) request.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import NamedTuple, Optional
 
@@ -35,8 +34,9 @@ class PlanResult(NamedTuple):
     #: map-wide certificate: True iff every occupied voxel near the
     #: trajectory has positive swept-volume SDF (min_cert_sdf > 0).
     #: The reference has no such check and silently emits colliding
-    #: trajectories in narrow-corridor cases.
-    certified: bool = True
+    #: trajectories in narrow-corridor cases. Defaults to False: an
+    #: unexamined (e.g. failed) plan is not certified.
+    certified: bool = False
     min_cert_sdf: float = float("nan")
 
 
@@ -254,7 +254,12 @@ class Planner:
         n_attempts = 1 + max(certify_retries, 0)
         for attempt in range(n_attempts):
             if attempt > 0 and BUS.stop_requested:
-                break   # debug_cmd early exit: best-so-far (§3.5)
+                # debug_cmd early exit: best-so-far (§3.5). One-shot:
+                # consume the request so it cannot silently degrade
+                # every FUTURE plan (the reference's code-21 aborts
+                # exactly one optimization run).
+                BUS.clear_stop()
+                break
             conservative = (n_attempts >= 3
                             and attempt == n_attempts - 1)
             res = self._attempt(start, goal,
@@ -281,8 +286,15 @@ class Planner:
                 pl = pl / 3.0
                 continue             # attempt 1: same corridor, denser
             # attempt >= 2: block the violated voxels (plus a one-cell
-            # dilation) and let A* find another homotopy class
-            pts, sdf = self.certify(res.traj)
+            # dilation) and let A* find another homotopy class.
+            # _attempt's refine loop already certified the returned
+            # trajectory — reuse that certificate instead of paying
+            # the full map-wide query again.
+            cached = getattr(self, "_last_cert", None)
+            if cached is not None:
+                pts, sdf = cached
+            else:
+                pts, sdf = self.certify(res.traj)
             viol = pts[sdf < 0.0]
             if len(viol) == 0:
                 break
@@ -302,6 +314,7 @@ class Planner:
                  certify_rounds, max_active_add,
                  parlength: float = 3.0,
                  conservative: bool = False) -> PlanResult:
+        self._last_cert = None
         front = self.generate_path(np.asarray(start), np.asarray(goal),
                                    occ2d_dev=occ2d_dev,
                                    conservative=conservative)
@@ -332,6 +345,7 @@ class Planner:
             # trajectory map-wide; on violation fall through to the
             # back end with the violators as the obstacle set
             pts, sdf = self.certify(mid.traj)
+            self._last_cert = (pts, sdf)
             if len(pts) == 0 or not np.any(sdf < 0.5 *
                                            self.config.safety_hor):
                 m = float(sdf.min()) if len(sdf) else float("inf")
@@ -356,18 +370,21 @@ class Planner:
         # warm-started from the previous solution.
         from svsdf_tpu.utils.debugbus import BUS
         cfg = self.config
+        weight_p, safety_hor = cfg.weight_p, cfg.safety_hor
         min_sdf = float("inf")
         for round_ in range(certify_rounds + 1):
             pts, sdf = self.certify(back.traj)
+            self._last_cert = (pts, sdf)   # reused by plan()'s retry
             if BUS.stop_requested and round_ > 0:
                 min_sdf = float(sdf.min()) if len(sdf) else float("inf")
+                BUS.clear_stop()           # one-shot consume (§3.5)
                 break
             min_sdf = float(sdf.min()) if len(sdf) else float("inf")
             if len(pts) == 0 or not np.any(sdf < 0.0):
                 break                      # collision-free: done
             if round_ == certify_rounds:
                 break                      # out of refine budget
-            bad = sdf < 0.5 * cfg.safety_hor
+            bad = sdf < 0.5 * safety_hor
             order = np.argsort(sdf[bad])[:max_active_add]
             add = np.concatenate(
                 [pts[bad][order], np.zeros((len(order), 1))], axis=1)
@@ -379,12 +396,15 @@ class Planner:
             obstacles = self._pad_obstacles(merged[np.sort(uniq)])
             # escalate both the penalty weight and the demanded margin:
             # the weight fixes under-convergence, the margin bump fixes
-            # equilibria that settle a few cm inside the boundary
-            cfg = dataclasses.replace(
-                cfg, weight_p=cfg.weight_p * 4.0,
-                safety_hor=cfg.safety_hor + 0.1)
+            # equilibria that settle a few cm inside the boundary.
+            # Passed as TRACED overrides (not a new frozen config) so
+            # every round reuses one compiled back-end executable.
+            weight_p = weight_p * 4.0
+            safety_hor = safety_hor + 0.1
             back = back_end.optimize(self.shape, head, tail, obstacles,
                                      back.opt_x, cfg, self.svs_cfg,
+                                     weight_p=weight_p,
+                                     safety_hor=safety_hor,
                                      max_iters=back_iters,
                                      mu_schedule=(0.1, 0.01))
         return PlanResult(True, back.traj, mid.traj, path, obstacles,

@@ -153,8 +153,7 @@ class GridMap:
 
         import jax.numpy as jnp
         pts = jnp.atleast_2d(jnp.asarray(points))
-        vals = jax.vmap(one)(pts)
-        grads = jax.vmap(jax.grad(one))(pts)
+        vals, grads = jax.vmap(jax.value_and_grad(one))(pts)
         if jnp.ndim(jnp.asarray(points)) == 1:
             return vals[0], grads[0]
         return vals, grads
