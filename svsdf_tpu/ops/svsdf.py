@@ -60,6 +60,16 @@ class SVSDFConfig:
     gsip_coarse_n: int = 96   # cheaper t*-search for GSIP boundary evals
     gsip_refine_rounds: int = 0   # 0 = table-parabola refinement (free)
     use_inside: bool = True   # run the GSIP interior solve at all
+    #: >0: run GSIP only on the K points with the most-negative
+    #: outside-pass SDF and scatter the results back; the rest keep
+    #: min-over-time SDF (still a valid interior value/direction, just
+    #: not the disk distance). Inside an optimizer batch only a
+    #: handful of the M obstacle points are interior at once, so this
+    #: cuts the dominant polish-stage cost ~M/K-fold. Under a sharded
+    #: obs axis (parallel/batch.py) the top-K is per shard — more
+    #: total GSIP points than the unsharded global top-K, which is
+    #: conservative (never less accurate), just not bitwise equal.
+    gsip_topk: int = 0
     #: dtype for the dense coarse scans ("bfloat16" doubles VPU
     #: throughput on the dominant elementwise SDF work; the f32
     #: refinement rounds restore full precision — only the bracketing
@@ -341,16 +351,35 @@ def svsdf_query(shape: Shape2D, traj: trj.Trajectory, points,
 
     inside = sdf < 0.0
     gsip_table = make_pose_table(traj, cfg.gsip_coarse_n)
+    m = points.shape[0]
+    topk = cfg.gsip_topk if 0 < cfg.gsip_topk < m else 0
 
-    def run_gsip(_):
-        # compute for every point; mask below (vmap turns cond into select)
-        g_sdf, g_t, g_grad = jax.vmap(
-            lambda q, t0: _gsip_inside(shape, traj, q, t0, cfg,
-                                       table=gsip_table))(
-                points, t_star)
-        return (jnp.where(inside, g_sdf, sdf),
-                jnp.where(inside, g_t, t_star),
-                jnp.where(inside[..., None], g_grad, grad_world))
+    if topk:
+        # compact: GSIP only the K most-interior points, scatter back.
+        _, idx = jax.lax.top_k(-sdf, topk)
+        pts_k, t_k = points[idx], t_star[idx]
+        ins_k = inside[idx]
+
+        def run_gsip(_):
+            g_sdf, g_t, g_grad = jax.vmap(
+                lambda q, t0: _gsip_inside(shape, traj, q, t0, cfg,
+                                           table=gsip_table))(pts_k, t_k)
+            s2 = sdf.at[idx].set(jnp.where(ins_k, g_sdf, sdf[idx]))
+            t2 = t_star.at[idx].set(jnp.where(ins_k, g_t, t_star[idx]))
+            g2 = grad_world.at[idx].set(
+                jnp.where(ins_k[:, None], g_grad, grad_world[idx]))
+            return s2, t2, g2
+    else:
+        def run_gsip(_):
+            # compute for every point; mask below (vmap turns cond
+            # into select)
+            g_sdf, g_t, g_grad = jax.vmap(
+                lambda q, t0: _gsip_inside(shape, traj, q, t0, cfg,
+                                           table=gsip_table))(
+                    points, t_star)
+            return (jnp.where(inside, g_sdf, sdf),
+                    jnp.where(inside, g_t, t_star),
+                    jnp.where(inside[..., None], g_grad, grad_world))
 
     def skip(_):
         return sdf, t_star, grad_world
