@@ -122,3 +122,47 @@ def test_grid_query_shape():
     assert field.shape == (16, 8)
     # far corner is far outside
     assert float(field[0, 0]) > 1.0
+
+
+def test_gsip_topk_matches_full():
+    """gsip_topk restricts the interior GSIP solve to the K
+    most-interior points; with K >= the number of interior points it
+    must reproduce the full-GSIP result exactly, and with a small K
+    the selected interior points must still get GSIP values while the
+    rest keep the (valid, conservative) min-over-time SDF."""
+    import dataclasses
+
+    shape = shapes.make_shape("Circle")
+    traj = _straight_traj()
+    # 3 interior points (|y| < 1 inside the swept stadium), 5 outside
+    pts = jnp.array([
+        [5.0, 0.5], [3.0, 0.0], [7.0, -0.4],
+        [5.0, 3.0], [-2.0, 0.0], [12.0, 0.0], [5.0, 1.5], [0.0, 4.0],
+    ])
+    full = svsdf.svsdf_query(shape, traj, pts, with_inside=True)
+
+    cfg_cover = dataclasses.replace(svsdf.DEFAULT_CONFIG, gsip_topk=3)
+    got = svsdf.svsdf_query(shape, traj, pts, cfg=cfg_cover,
+                            with_inside=True)
+    np.testing.assert_allclose(np.asarray(got.sdf),
+                               np.asarray(full.sdf), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.grad_world),
+                               np.asarray(full.grad_world), atol=1e-7)
+
+    # K=1: only the most-interior point (centerline-nearest) gets the
+    # GSIP value; the other interior points keep min-over-time SDF,
+    # which for interior points is >= the true (negative) distance.
+    cfg_one = dataclasses.replace(svsdf.DEFAULT_CONFIG, gsip_topk=1)
+    part = svsdf.svsdf_query(shape, traj, pts, cfg=cfg_one,
+                             with_inside=True)
+    deepest = int(np.argmin(np.asarray(full.sdf)))
+    np.testing.assert_allclose(float(part.sdf[deepest]),
+                               float(full.sdf[deepest]), atol=1e-7)
+    # non-selected interior points: min-over-time SDF is an upper
+    # bound... the true interior distance is MORE negative
+    for i in range(3):
+        if i != deepest:
+            assert float(part.sdf[i]) >= float(full.sdf[i]) - 1e-6
+    # outside points are untouched by the topk path
+    np.testing.assert_allclose(np.asarray(part.sdf[3:]),
+                               np.asarray(full.sdf[3:]), atol=1e-7)
