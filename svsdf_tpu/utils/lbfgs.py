@@ -45,6 +45,12 @@ class LBFGSParams:
     #: the batched (vmapped) solver's answer to one stubborn lane
     #: forcing every lane through its worst-case bisection.
     ls_candidates: int = 0
+    #: lax.scan unroll factor for the two-loop recursion (the per-
+    #: iteration direction build: 2m tiny vdot steps). The staged
+    #: batched solve is dispatch/serialization-bound (README roofline),
+    #: so merging the 2m scan steps into 2m/unroll fused kernels
+    #: shaves fixed overhead off every optimizer iteration.
+    scan_unroll: int = 4
 
 
 class LBFGSResult(NamedTuple):
@@ -169,7 +175,8 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
             a = jnp.where(valid_i, a, 0.0)
             return q - a * y * valid_i, a
 
-        q, alphas = jax.lax.scan(bwd, g, jnp.arange(m))
+        q, alphas = jax.lax.scan(bwd, g, jnp.arange(m),
+                                 unroll=min(p.scan_unroll, m))
         # initial Hessian scaling gamma = s.y / y.y of newest pair
         newest = idxs[0]
         sy = jnp.vdot(s_hist[newest], y_hist[newest])
@@ -186,7 +193,8 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
             b = jnp.where(valid_i, b, 0.0)
             return r_ + (alphas[ii] - b) * s * valid_i, None
 
-        r_, _ = jax.lax.scan(fwd, r_, jnp.arange(m))
+        r_, _ = jax.lax.scan(fwd, r_, jnp.arange(m),
+                             unroll=min(p.scan_unroll, m))
         return r_
 
     def step(c: Carry) -> Carry:
