@@ -170,9 +170,13 @@ def transition_stencils(shape: Shape2D, yaw_num: int, resolution: float,
         sd = shape.sdf_xy(prx, pry)                      # (T, s, s)
         return jnp.any(sd < 0.0, axis=0)
 
-    f_d = jax.vmap(lambda fb: jax.vmap(
-        lambda de: jax.vmap(lambda dv: one(fb, de, dv))(dirs))(deltas))
-    return f_d(fbins)                                    # (K, D, 8, s, s)
+    # outer yaw-bin axis runs SEQUENTIALLY (lax.map): the fully-vmapped
+    # version materializes (K, D, 8, T, s, s) SDF intermediates — at
+    # fine yaw resolutions (K>=36) that transiently exceeds v5e HBM.
+    # This is a one-shot precompute; peak memory beats latency here.
+    f_inner = lambda fb: jax.vmap(lambda de: jax.vmap(
+        lambda dv: one(fb, de, dv))(dirs))(deltas)
+    return jax.lax.map(f_inner, fbins)                   # (K, D, 8, s, s)
 
 
 def transition_feasibility(occ2d, stencils) -> jnp.ndarray:

@@ -46,9 +46,21 @@ class Planner:
     def __init__(self, config: PlannerConfig, map_points: np.ndarray,
                  svs_cfg: SVSDFConfig = DEFAULT_CONFIG,
                  use_transition_check: bool = True,
-                 conservative_yaw_substeps: int = 1):
+                 conservative_yaw_substeps: int = 1,
+                 fine_yaw_factor: int = 2):
         self.config = config
         self.svs_cfg = svs_cfg
+        #: last-resort retry rung: rebuild the planner with
+        #: kernel_yaw_num * fine_yaw_factor when every attempt of the
+        #: standard ladder leaves the trajectory uncertified (<=1
+        #: disables). Measured: sdCutDisk — uncertifiable at the
+        #: reference's 18 bins (min_cert_sdf -0.27 after the full
+        #: ladder) — certifies at 36 bins (+0.83) because the finer
+        #: bins give A* yaw options whose continuous interpolation the
+        #: big cut-disk can actually follow.
+        self._fine_yaw_factor = max(int(fine_yaw_factor), 0)
+        self._map_points = np.asarray(map_points)
+        self._fine_planner = None
         self.shape = shapes.shape_from_objpath(config.inputdata,
                                                config.poly_params)
         self.grid = GridMap.from_points(
@@ -273,7 +285,11 @@ class Planner:
                                 parlength if conservative else pl,
                                 conservative=conservative)
             if not res.success:
-                return best if best is not None else res
+                # fall through to the fine-yaw rung: finer bins give
+                # A* yaw options the coarse discretization may lack
+                if best is None:
+                    best = res
+                break
             if res.certified or math.isnan(res.min_cert_sdf):
                 return res
             if best is None or res.min_cert_sdf > best.min_cert_sdf:
@@ -308,7 +324,42 @@ class Planner:
                     jj = np.clip(ij[:, 1] + dj, 0, occ.shape[1] - 1)
                     occ[ii, jj] = 1
             occ2d_dev = jnp.asarray(occ)
+        # Last rung: the whole ladder left the best trajectory
+        # uncertified — retry at a finer yaw discretization (see
+        # __init__: sdCutDisk certifies at 36 bins, never at 18).
+        if (best is not None and not best.certified
+                and self._fine_yaw_factor > 1):
+            fine = self._get_fine_planner()
+            res = fine.plan(start, goal, mid_iters=mid_iters,
+                            back_iters=back_iters,
+                            certify_rounds=certify_rounds,
+                            max_active_add=max_active_add,
+                            certify_retries=certify_retries,
+                            parlength=parlength)
+            if res is not None and res.success and (
+                    not best.success
+                    or res.certified
+                    or (math.isfinite(res.min_cert_sdf)
+                        and not (res.min_cert_sdf
+                                 <= best.min_cert_sdf))):
+                return res
         return best
+
+    def _get_fine_planner(self) -> "Planner":
+        """Lazily build (and cache) the fine-yaw retry planner: same
+        map and config but kernel_yaw_num scaled by fine_yaw_factor.
+        The clone has its own rung disabled — one escalation only."""
+        if self._fine_planner is None:
+            import dataclasses
+            cfg = dataclasses.replace(
+                self.config,
+                kernel_yaw_num=self.config.kernel_yaw_num
+                * self._fine_yaw_factor)
+            self._fine_planner = Planner(
+                cfg, self._map_points, svs_cfg=self.svs_cfg,
+                use_transition_check=self.guard_ladder != [None],
+                fine_yaw_factor=0)
+        return self._fine_planner
 
     def _attempt(self, start, goal, occ2d_dev, mid_iters, back_iters,
                  certify_rounds, max_active_add,

@@ -222,3 +222,47 @@ def test_online_replanner():
     # second replan with a different goal reuses the executable
     r2 = rp.replan((3.5, 3.5), (18.5, 11.5))
     assert r2.success and r2.cert_min > 0.0
+
+
+def test_fine_yaw_retry_planner():
+    """The fine-yaw last rung: clone has scaled bins, no recursion,
+    is cached, and plan() adopts its certified result when the base
+    ladder comes up uncertified."""
+    cfg, pts = _scenario()
+    pl = Planner(cfg, pts, use_transition_check=False,
+                 fine_yaw_factor=2)
+    fine = pl._get_fine_planner()
+    assert fine.config.kernel_yaw_num == 2 * cfg.kernel_yaw_num
+    assert fine._fine_yaw_factor == 0          # one escalation only
+    assert pl._get_fine_planner() is fine      # cached
+
+    # ladder logic: base attempts uncertified -> fine result returned
+    from svsdf_tpu.planner.pipeline import PlanResult
+    uncert = PlanResult(True, None, None, np.zeros((2, 3)),
+                        np.zeros((0, 3)), 1.0, 1.0,
+                        certified=False, min_cert_sdf=-0.5)
+    cert = PlanResult(True, None, None, np.zeros((2, 3)),
+                      np.zeros((0, 3)), 1.0, 2.0,
+                      certified=True, min_cert_sdf=0.3)
+    pl._attempt = lambda *a, **k: uncert
+
+    class _Stub:
+        def plan(self, *a, **k):
+            return cert
+    pl._fine_planner = _Stub()
+    out = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
+                  certify_retries=1)
+    assert out.certified and out.min_cert_sdf == 0.3
+
+    # fine planner WORSE than base -> base kept
+    worse = PlanResult(True, None, None, np.zeros((2, 3)),
+                       np.zeros((0, 3)), 1.0, 2.0,
+                       certified=False, min_cert_sdf=-1.0)
+
+    class _StubW:
+        def plan(self, *a, **k):
+            return worse
+    pl._fine_planner = _StubW()
+    out = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
+                  certify_retries=1)
+    assert out.min_cert_sdf == -0.5
