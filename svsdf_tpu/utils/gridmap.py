@@ -34,6 +34,10 @@ class GridMap:
         """Measure bounds from the cloud and voxelize with a count
         threshold (rcvGlobalMapHandler, PCSmap_manager.cpp:104-193)."""
         points = np.asarray(points, dtype=np.float64)
+        if points.ndim != 2 or points.shape[-1] != 3 or not len(points):
+            raise ValueError(
+                "GridMap.from_points needs a non-empty (N, 3) cloud, "
+                f"got shape {points.shape}")
         xyz_min = points.min(axis=0)
         xyz_max = points.max(axis=0)
         shape = np.maximum(

@@ -42,6 +42,14 @@ def test_gridmap_voxelize():
     assert g.is_occupied_idx(25, 0, 0)
 
 
+def test_gridmap_rejects_empty_or_malformed_cloud():
+    import pytest
+    with pytest.raises(ValueError, match=r"non-empty \(N, 3\)"):
+        GridMap.from_points(np.zeros((0, 3)), 1.0, 1)
+    with pytest.raises(ValueError, match=r"non-empty \(N, 3\)"):
+        GridMap.from_points(np.zeros((5, 2)), 1.0, 1)
+
+
 def test_aabb_harvest_dedup():
     g = GridMap.from_points(_wall_map(), 1.0, 1)
     pts = g.harvest_along_path([np.array([10.5, 1.5, 0.0]),
