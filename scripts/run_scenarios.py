@@ -88,6 +88,16 @@ def run_one(name: str) -> dict:
 
 
 def main():
+    # The axon sitecustomize force-sets jax_platforms="axon,cpu" at
+    # interpreter start, which OVERRIDES the JAX_PLATFORMS env var —
+    # re-assert the user's choice via jax.config (same workaround as
+    # tests/conftest.py) so `JAX_PLATFORMS=cpu python run_scenarios.py`
+    # really runs on CPU.
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+
     from svsdf_tpu.utils import fixtures
 
     names = sys.argv[1:] or fixtures.list_scenarios()

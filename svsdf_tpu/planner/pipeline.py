@@ -423,7 +423,9 @@ class Planner:
         cfg = self.config
         weight_p, safety_hor = cfg.weight_p, cfg.safety_hor
         min_sdf = float("inf")
-        for round_ in range(certify_rounds + 1):
+        budget = certify_rounds
+        round_ = 0
+        while True:
             pts, sdf = self.certify(back.traj)
             self._last_cert = (pts, sdf)   # reused by plan()'s retry
             if BUS.stop_requested and round_ > 0:
@@ -433,8 +435,16 @@ class Planner:
             min_sdf = float(sdf.min()) if len(sdf) else float("inf")
             if len(pts) == 0 or not np.any(sdf < 0.0):
                 break                      # collision-free: done
-            if round_ == certify_rounds:
-                break                      # out of refine budget
+            if round_ == budget:
+                # near-miss extension: the equilibrium settled a few cm
+                # inside the boundary (not a wrong corridor). Extra
+                # rounds are warm-started re-solves on the SAME compiled
+                # executable (weight/margin are traced overrides) —
+                # much cheaper than escalating to the next retry rung.
+                if -0.1 < min_sdf < 0.0 and budget < certify_rounds + 3:
+                    budget += 1
+                else:
+                    break                  # out of refine budget
             bad = sdf < 0.5 * safety_hor
             order = np.argsort(sdf[bad])[:max_active_add]
             add = np.concatenate(
@@ -458,6 +468,7 @@ class Planner:
                                      safety_hor=safety_hor,
                                      max_iters=back_iters,
                                      mu_schedule=(0.1, 0.01))
+            round_ += 1
         return PlanResult(True, back.traj, mid.traj, path, obstacles,
                           float(mid.cost), float(back.cost),
                           certified=(min_sdf > 0.0),

@@ -266,3 +266,63 @@ def test_fine_yaw_retry_planner():
     out = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
                   certify_retries=1)
     assert out.min_cert_sdf == -0.5
+
+
+def test_near_miss_certify_extension(monkeypatch):
+    """The refine loop grants extra warm-started rounds when the final
+    violation is a near-miss (-0.1 < min_sdf < 0), and still stops
+    immediately on deep violations or after +3 extra rounds."""
+    import types
+    from svsdf_tpu.planner import pipeline as pp
+
+    cfg, pts = _scenario()
+    pl = Planner(cfg, pts, use_transition_check=False, fine_yaw_factor=0)
+
+    path = np.stack([np.linspace(3.5, 20.5, 12),
+                     np.linspace(3.5, 12.5, 12),
+                     np.zeros(12)], axis=-1)
+    monkeypatch.setattr(pl, "generate_path",
+                        lambda *a, **k: types.SimpleNamespace(
+                            success=True, path=path))
+    monkeypatch.setattr(pl, "_harvest",
+                        lambda q: np.array([[12.0, 7.5, 0.0]]))
+    fake_opt = types.SimpleNamespace(traj="traj", cost=1.0,
+                                     opt_x=np.zeros(4))
+    monkeypatch.setattr(pp.mid_end, "optimize", lambda *a, **k: fake_opt)
+    solves = []
+    monkeypatch.setattr(pp.back_end, "optimize",
+                        lambda *a, **k: solves.append(1) or fake_opt)
+
+    cert_pts = np.array([[12.0, 7.5]])
+
+    def make_certify(seq):
+        it = iter(seq)
+        return lambda traj: (cert_pts, np.array([next(it)]))
+
+    # near-miss at the budget -> extra rounds until certified
+    monkeypatch.setattr(pl, "certify",
+                        make_certify([-0.05, -0.02, 0.1]))
+    res = pl._attempt(np.array([3.5, 3.5, 0.0]),
+                      np.array([20.5, 12.5, 0.0]), None, 1, 1,
+                      certify_rounds=0, max_active_add=8)
+    assert res.certified and res.min_cert_sdf == 0.1
+    assert len(solves) == 3              # initial + 2 extension rounds
+
+    # deep violation at the budget -> no extension
+    solves.clear()
+    monkeypatch.setattr(pl, "certify", make_certify([-0.5, -0.4]))
+    res = pl._attempt(np.array([3.5, 3.5, 0.0]),
+                      np.array([20.5, 12.5, 0.0]), None, 1, 1,
+                      certify_rounds=0, max_active_add=8)
+    assert not res.certified and res.min_cert_sdf == -0.5
+    assert len(solves) == 1              # only the initial solve
+
+    # persistent near-miss -> capped at +3 extra rounds
+    solves.clear()
+    monkeypatch.setattr(pl, "certify",
+                        make_certify([-0.05, -0.05, -0.05, -0.05, -0.05]))
+    res = pl._attempt(np.array([3.5, 3.5, 0.0]),
+                      np.array([20.5, 12.5, 0.0]), None, 1, 1,
+                      certify_rounds=0, max_active_add=8)
+    assert not res.certified and res.min_cert_sdf == -0.05
+    assert len(solves) == 4              # initial + 3 capped extensions
