@@ -51,16 +51,20 @@ class Planner:
         self.config = config
         self.svs_cfg = svs_cfg
         #: last-resort retry rung: rebuild the planner with
-        #: kernel_yaw_num * fine_yaw_factor when every attempt of the
-        #: standard ladder leaves the trajectory uncertified (<=1
-        #: disables). Measured: sdCutDisk — uncertifiable at the
-        #: reference's 18 bins (min_cert_sdf -0.27 after the full
-        #: ladder) — certifies at 36 bins (+0.83) because the finer
-        #: bins give A* yaw options whose continuous interpolation the
-        #: big cut-disk can actually follow.
+        #: kernel_yaw_num * factor for factor in (fine_yaw_factor,
+        #: fine_yaw_factor**2) when every attempt of the standard
+        #: ladder leaves the trajectory uncertified (<=1 disables).
+        #: Measured: sdCutDisk — uncertifiable at the reference's 18
+        #: bins (min_cert_sdf -0.27 after the full ladder) — certifies
+        #: at 36 bins (+0.83) because the finer bins give A* yaw
+        #: options whose continuous interpolation the big cut-disk can
+        #: actually follow. The second (factor²) step targets long
+        #: thin shapes (sdRhombus spans ~9 m tip to tip): a 20°/bin
+        #: discretization sweeps ~1.5 m laterally at the tips between
+        #: bins, which no optimizer polish can certify away.
         self._fine_yaw_factor = max(int(fine_yaw_factor), 0)
         self._map_points = np.asarray(map_points)
-        self._fine_planner = None
+        self._fine_planners: dict = {}
         self.shape = shapes.shape_from_objpath(config.inputdata,
                                                config.poly_params)
         self.grid = GridMap.from_points(
@@ -285,11 +289,16 @@ class Planner:
                                 parlength if conservative else pl,
                                 conservative=conservative)
             if not res.success:
-                # fall through to the fine-yaw rung: finer bins give
-                # A* yaw options the coarse discretization may lack
+                # a failed front end must not gate the LATER rungs:
+                # the homotopy-block retry can kill A* (no alternative
+                # corridor on the blocked map) while the conservative
+                # rung — which always plans on the UNBLOCKED map — and
+                # the fine-yaw rung can still succeed (measured:
+                # sdRhombus attempt 2 fails in 1 s, the conservative
+                # rung then certifies).
                 if best is None:
                     best = res
-                break
+                continue
             if res.certified or math.isnan(res.min_cert_sdf):
                 return res
             if best is None or res.min_cert_sdf > best.min_cert_sdf:
@@ -325,41 +334,51 @@ class Planner:
                     occ[ii, jj] = 1
             occ2d_dev = jnp.asarray(occ)
         # Last rung: the whole ladder left the best trajectory
-        # uncertified — retry at a finer yaw discretization (see
-        # __init__: sdCutDisk certifies at 36 bins, never at 18).
-        if (best is not None and not best.certified
-                and self._fine_yaw_factor > 1):
-            fine = self._get_fine_planner()
-            res = fine.plan(start, goal, mid_iters=mid_iters,
-                            back_iters=back_iters,
-                            certify_rounds=certify_rounds,
-                            max_active_add=max_active_add,
-                            certify_retries=certify_retries,
-                            parlength=parlength)
-            if res is not None and res.success and (
-                    not best.success
-                    or res.certified
-                    or (math.isfinite(res.min_cert_sdf)
-                        and not (res.min_cert_sdf
-                                 <= best.min_cert_sdf))):
-                return res
+        # uncertified — retry at escalating yaw discretizations (see
+        # __init__: sdCutDisk certifies at 36 bins, never at 18;
+        # long thin shapes may need the factor² step).
+        if self._fine_yaw_factor > 1:
+            f = self._fine_yaw_factor
+            for factor in (f, f * f):
+                if best is not None and best.certified:
+                    break
+                if factor == f * f and (best is None
+                                        or not best.success):
+                    break   # nothing plannable even at factor f —
+                    # don't pay the factor² build for a lost cause
+                    # (e.g. unreachable goal)
+                fine = self._get_fine_planner(factor)
+                res = fine.plan(start, goal, mid_iters=mid_iters,
+                                back_iters=back_iters,
+                                certify_rounds=certify_rounds,
+                                max_active_add=max_active_add,
+                                certify_retries=certify_retries,
+                                parlength=parlength)
+                if res is not None and res.success and (
+                        best is None
+                        or not best.success
+                        or res.certified
+                        or (math.isfinite(res.min_cert_sdf)
+                            and not (res.min_cert_sdf
+                                     <= best.min_cert_sdf))):
+                    best = res
         return best
 
-    def _get_fine_planner(self) -> "Planner":
+    def _get_fine_planner(self, factor: int) -> "Planner":
         """Lazily build (and cache) the fine-yaw retry planner: same
-        map and config but kernel_yaw_num scaled by fine_yaw_factor.
-        The clone has its own rung disabled — one escalation only."""
-        if self._fine_planner is None:
+        map and config but kernel_yaw_num scaled by `factor`. The
+        clone has its own rung disabled — plan() drives the
+        escalation ladder explicitly."""
+        if factor not in self._fine_planners:
             import dataclasses
             cfg = dataclasses.replace(
                 self.config,
-                kernel_yaw_num=self.config.kernel_yaw_num
-                * self._fine_yaw_factor)
-            self._fine_planner = Planner(
+                kernel_yaw_num=self.config.kernel_yaw_num * factor)
+            self._fine_planners[factor] = Planner(
                 cfg, self._map_points, svs_cfg=self.svs_cfg,
                 use_transition_check=self.guard_ladder != [None],
                 fine_yaw_factor=0)
-        return self._fine_planner
+        return self._fine_planners[factor]
 
     def _attempt(self, start, goal, occ2d_dev, mid_iters, back_iters,
                  certify_rounds, max_active_add,
@@ -441,7 +460,9 @@ class Planner:
                 # rounds are warm-started re-solves on the SAME compiled
                 # executable (weight/margin are traced overrides) —
                 # much cheaper than escalating to the next retry rung.
-                if -0.1 < min_sdf < 0.0 and budget < certify_rounds + 3:
+                # Band -0.15: sdRhombus' conservative-rung result
+                # (-0.128) must qualify, it polishes to near zero.
+                if -0.15 < min_sdf < 0.0 and budget < certify_rounds + 3:
                     budget += 1
                 else:
                     break                  # out of refine budget

@@ -231,12 +231,14 @@ def test_fine_yaw_retry_planner():
     cfg, pts = _scenario()
     pl = Planner(cfg, pts, use_transition_check=False,
                  fine_yaw_factor=2)
-    fine = pl._get_fine_planner()
+    fine = pl._get_fine_planner(2)
     assert fine.config.kernel_yaw_num == 2 * cfg.kernel_yaw_num
     assert fine._fine_yaw_factor == 0          # one escalation only
-    assert pl._get_fine_planner() is fine      # cached
+    assert pl._get_fine_planner(2) is fine     # cached
 
-    # ladder logic: base attempts uncertified -> fine result returned
+    # ladder logic: base attempts uncertified -> fine result returned,
+    # and a certified factor-2 result stops the escalation (factor 4
+    # never built)
     from svsdf_tpu.planner.pipeline import PlanResult
     uncert = PlanResult(True, None, None, np.zeros((2, 3)),
                         np.zeros((0, 3)), 1.0, 1.0,
@@ -247,25 +249,33 @@ def test_fine_yaw_retry_planner():
     pl._attempt = lambda *a, **k: uncert
 
     class _Stub:
+        def __init__(self, res):
+            self.res = res
+            self.calls = 0
+
         def plan(self, *a, **k):
-            return cert
-    pl._fine_planner = _Stub()
+            self.calls += 1
+            return self.res
+    s2, s4 = _Stub(cert), _Stub(cert)
+    pl._fine_planners = {2: s2, 4: s4}
     out = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
                   certify_retries=1)
     assert out.certified and out.min_cert_sdf == 0.3
+    assert s2.calls == 1 and s4.calls == 0     # stopped at factor 2
 
-    # fine planner WORSE than base -> base kept
+    # factor 2 WORSE than base -> base kept as best, factor 4 improves
     worse = PlanResult(True, None, None, np.zeros((2, 3)),
                        np.zeros((0, 3)), 1.0, 2.0,
                        certified=False, min_cert_sdf=-1.0)
-
-    class _StubW:
-        def plan(self, *a, **k):
-            return worse
-    pl._fine_planner = _StubW()
+    better = PlanResult(True, None, None, np.zeros((2, 3)),
+                        np.zeros((0, 3)), 1.0, 2.0,
+                        certified=False, min_cert_sdf=-0.1)
+    s2, s4 = _Stub(worse), _Stub(better)
+    pl._fine_planners = {2: s2, 4: s4}
     out = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
                   certify_retries=1)
-    assert out.min_cert_sdf == -0.5
+    assert out.min_cert_sdf == -0.1
+    assert s2.calls == 1 and s4.calls == 1
 
 
 def test_near_miss_certify_extension(monkeypatch):
@@ -326,3 +336,33 @@ def test_near_miss_certify_extension(monkeypatch):
                       certify_rounds=0, max_active_add=8)
     assert not res.certified and res.min_cert_sdf == -0.05
     assert len(solves) == 4              # initial + 3 capped extensions
+
+
+def test_failed_attempt_does_not_gate_later_rungs():
+    """A failed front end mid-ladder (homotopy block kills A*) must
+    not skip the conservative rung, which plans on the unblocked map."""
+    from svsdf_tpu.planner.pipeline import PlanResult
+
+    cfg, pts = _scenario()
+    pl = Planner(cfg, pts, use_transition_check=False, fine_yaw_factor=0)
+
+    uncert = PlanResult(True, None, None, np.zeros((2, 3)),
+                        np.zeros((0, 3)), 1.0, 1.0,
+                        certified=False, min_cert_sdf=-0.4)
+    failed = PlanResult(False, None, None, np.zeros((2, 3)),
+                        np.zeros((0, 3)), float("nan"), float("nan"))
+    cert = PlanResult(True, None, None, np.zeros((2, 3)),
+                      np.zeros((0, 3)), 1.0, 2.0,
+                      certified=True, min_cert_sdf=0.5)
+    seq = iter([uncert, uncert, failed, cert])
+    seen = []
+
+    def fake_attempt(*a, **k):
+        seen.append(bool(k.get("conservative", False)))
+        return next(seq)
+    pl._attempt = fake_attempt
+    pl._last_cert = (np.array([[12.0, 7.5]]), np.array([-0.4]))
+    out = pl.plan(np.array([3.5, 3.5, 0.0]), np.array([20.5, 12.5, 0.0]),
+                  certify_retries=3)
+    assert out.certified and out.min_cert_sdf == 0.5
+    assert seen == [False, False, False, True]  # conservative reached
