@@ -442,6 +442,7 @@ class Planner:
         cfg = self.config
         weight_p, safety_hor = cfg.weight_p, cfg.safety_hor
         min_sdf = float("inf")
+        prev_min = None
         budget = certify_rounds
         round_ = 0
         while True:
@@ -483,8 +484,23 @@ class Planner:
             # every round reuses one compiled back-end executable.
             weight_p = weight_p * 4.0
             safety_hor = safety_hor + 0.1
+            warm_x = back.opt_x
+            # Stalled-equilibrium escape: when an extension round fails
+            # to improve min_sdf, penalty escalation alone is trapped
+            # in the same local equilibrium — physically push the
+            # nearest waypoints along the violated voxel's swept-SDF
+            # gradient before re-solving. sdf_swept(v; traj + delta)
+            # ≈ sdf(v) − g·delta, so delta = −ĝ·push increases the
+            # violated point's clearance by ~push.
+            stalled = (round_ >= certify_rounds and prev_min is not None
+                       and min_sdf <= prev_min + 0.01)
+            prev_min = min_sdf
+            if stalled and math.isfinite(min_sdf):
+                warm_x = self._nudge_waypoints(
+                    np.asarray(warm_x), back.traj,
+                    pts[int(np.argmin(sdf))], -min_sdf + 0.1, n)
             back = back_end.optimize(self.shape, head, tail, obstacles,
-                                     back.opt_x, cfg, self.svs_cfg,
+                                     warm_x, cfg, self.svs_cfg,
                                      weight_p=weight_p,
                                      safety_hor=safety_hor,
                                      max_iters=back_iters,
@@ -494,6 +510,31 @@ class Planner:
                           float(mid.cost), float(back.cost),
                           certified=(min_sdf > 0.0),
                           min_cert_sdf=min_sdf)
+
+    def _nudge_waypoints(self, x: np.ndarray, traj, worst_pt,
+                         push: float, n: int) -> np.ndarray:
+        """Shift the waypoints nearest to the worst violated voxel
+        along −(swept-SDF gradient) by `push` (Gaussian falloff with
+        distance), escaping penalty equilibria the warm start keeps
+        re-converging to. Returns a new decision vector
+        [tau (n); waypoints ((n−1)·3)]."""
+        from svsdf_tpu.ops.svsdf import svsdf_query
+        x = np.array(x, copy=True)
+        q = svsdf_query(self.shape, traj,
+                        jnp.asarray(worst_pt[None, :2], jnp.float32),
+                        self.svs_cfg)
+        g = np.asarray(q.grad_world)[0]
+        norm = float(np.linalg.norm(g))
+        if not (np.isfinite(norm) and norm > 1e-6):
+            return x
+        delta = -(g / norm) * push
+        wps = x[n:].reshape(n - 1, 3)
+        d = np.linalg.norm(wps[:, :2] - np.asarray(worst_pt)[None, :2],
+                           axis=1)
+        w = np.exp(-(d / max(self.bd / 3.0, 1.0)) ** 2)
+        wps[:, 0] += delta[0] * w
+        wps[:, 1] += delta[1] * w
+        return x
 
 
 def _rotz(yaw: float) -> np.ndarray:

@@ -366,3 +366,34 @@ def test_failed_attempt_does_not_gate_later_rungs():
                   certify_retries=3)
     assert out.certified and out.min_cert_sdf == 0.5
     assert seen == [False, False, False, True]  # conservative reached
+
+
+def test_nudge_waypoints_moves_near_waypoints_away():
+    """_nudge_waypoints shifts waypoints near the violated voxel along
+    -grad (away from it), with Gaussian falloff for far waypoints."""
+    from svsdf_tpu.ops import minco
+
+    cfg, pts = _scenario()
+    pl = Planner(cfg, pts, use_transition_check=False, fine_yaw_factor=0)
+    n = 4
+    head = jnp.asarray([[0.0, 0.0, 0.0], [0.0] * 3, [0.0] * 3])
+    tail = jnp.asarray([[12.0, 0.0, 0.0], [0.0] * 3, [0.0] * 3])
+    wps = jnp.asarray([[3.0, 0.0, 0.0], [6.0, 0.0, 0.0],
+                       [9.0, 0.0, 0.0]])
+    traj = minco.solve(jnp.full((n,), 1.5), head, tail, wps)
+    x = np.concatenate([np.zeros(n), np.asarray(wps).ravel()])
+
+    # violated point just above the swept tube around (6, 0): the
+    # sweeping unit circle's SDF gradient there points +y, so the
+    # nudge must push nearby waypoints toward -y
+    worst = np.array([6.0, 0.5])
+    out = pl._nudge_waypoints(x, traj, worst, push=0.3, n=n)
+    wps_out = out[n:].reshape(n - 1, 3)
+    assert wps_out[1, 1] < -0.2          # near waypoint pushed away
+    assert abs(wps_out[1, 0] - 6.0) < 0.1  # mostly lateral
+    # falloff: the far waypoints move strictly less than the near one
+    assert abs(wps_out[0, 1]) < abs(wps_out[1, 1])
+    assert abs(wps_out[2, 1]) < abs(wps_out[1, 1])
+    # tau untouched, input not mutated
+    np.testing.assert_array_equal(out[:n], np.zeros(n))
+    assert x[n + 4] == 0.0
