@@ -302,6 +302,10 @@ def test_near_miss_certify_extension(monkeypatch):
     solves = []
     monkeypatch.setattr(pp.back_end, "optimize",
                         lambda *a, **k: solves.append(1) or fake_opt)
+    # isolate the extension-round accounting from the stalled-
+    # equilibrium nudge (exercised separately with a real trajectory)
+    monkeypatch.setattr(pl, "_nudge_waypoints",
+                        lambda x, *a, **k: x)
 
     cert_pts = np.array([[12.0, 7.5]])
 
