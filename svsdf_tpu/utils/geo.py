@@ -35,6 +35,129 @@ def convex_hull_2d(points: np.ndarray) -> np.ndarray:
     return np.asarray(lower[:-1] + upper[:-1])
 
 
+def convex_hull_3d(points: np.ndarray,
+                   eps: float = 1e-9) -> tuple[np.ndarray, np.ndarray]:
+    """3-D convex hull by quickhull (`quickhull.hpp`'s role — the
+    reference vendors Antti Kuukka's QuickHull for geo_utils'
+    polytope handling). Host-side numpy; O(n log n) expected.
+
+    Returns (V, F): hull vertices (H, 3) and CCW triangle faces
+    (T, 3) indexing V, outward-oriented (normals point away from the
+    hull interior). Raises ValueError on degenerate (planar/collinear)
+    input, which the planar pipeline handles with convex_hull_2d."""
+    pts = np.unique(np.asarray(points, float).reshape(-1, 3), axis=0)
+    if len(pts) < 4:
+        raise ValueError("convex_hull_3d needs >= 4 non-coplanar points")
+
+    # --- initial simplex: extreme pair, then farthest-from-line,
+    # then farthest-from-plane
+    lo, hi = np.argmin(pts, axis=0), np.argmax(pts, axis=0)
+    cand = np.unique(np.concatenate([lo, hi]))
+    best, pair = -1.0, (0, 1)
+    for i in cand:
+        d = np.linalg.norm(pts[cand] - pts[i], axis=1)
+        j = cand[int(np.argmax(d))]
+        if d.max() > best:
+            best, pair = d.max(), (i, j)
+    a, b = pair
+    if best < eps:
+        raise ValueError("degenerate input (all points coincide)")
+    ab = pts[b] - pts[a]
+    d_line = np.linalg.norm(np.cross(pts - pts[a], ab), axis=1)
+    c = int(np.argmax(d_line))
+    if d_line[c] < eps:
+        raise ValueError("degenerate input (collinear)")
+    n0 = np.cross(ab, pts[c] - pts[a])
+    n0 /= np.linalg.norm(n0)
+    d_plane = (pts - pts[a]) @ n0
+    dd = int(np.argmax(np.abs(d_plane)))
+    if abs(d_plane[dd]) < eps:
+        raise ValueError("degenerate input (coplanar)")
+    if d_plane[dd] > 0:          # keep faces outward-consistent
+        a, b = b, a
+
+    faces = [(a, b, c), (a, c, dd), (c, b, dd), (b, a, dd)]
+
+    def plane(f):
+        p0, p1, p2 = pts[f[0]], pts[f[1]], pts[f[2]]
+        n = np.cross(p1 - p0, p2 - p0)
+        nn = np.linalg.norm(n)
+        n = n / max(nn, 1e-300)
+        return n, n @ p0
+
+    # outside sets: each point assigned to one face it lies outside of
+    planes = [plane(f) for f in faces]
+    alive = np.ones(len(pts), bool)
+    alive[[a, b, c, dd]] = False
+    outside: list[list[int]] = [[] for _ in faces]
+    for i in np.nonzero(alive)[0]:
+        for fi, (n, off) in enumerate(planes):
+            if pts[i] @ n - off > eps:
+                outside[fi].append(int(i))
+                break
+
+    face_alive = [True] * len(faces)
+    stack = [fi for fi in range(len(faces)) if outside[fi]]
+    while stack:
+        fi = stack.pop()
+        if not face_alive[fi] or not outside[fi]:
+            continue
+        n, off = planes[fi]
+        pts_out = outside[fi]
+        far = pts_out[int(np.argmax(np.asarray(
+            [pts[i] @ n - off for i in pts_out])))]
+        # find all faces visible from `far`
+        visible = [gi for gi in range(len(faces))
+                   if face_alive[gi]
+                   and pts[far] @ planes[gi][0] - planes[gi][1] > eps]
+        # horizon = edges of visible faces bordering a hidden face
+        edge_count: dict[tuple[int, int], tuple[int, int]] = {}
+        for gi in visible:
+            f = faces[gi]
+            for k in range(3):
+                e = (f[k], f[(k + 1) % 3])
+                edge_count[e] = e
+        horizon = [e for e in edge_count
+                   if (e[1], e[0]) not in edge_count]
+        orphans = []
+        for gi in visible:
+            face_alive[gi] = False
+            orphans.extend(outside[gi])
+            outside[gi] = []
+        # new fan of faces from `far` over the horizon
+        for (u, v) in horizon:
+            faces.append((u, v, far))
+            planes.append(plane(faces[-1]))
+            face_alive.append(True)
+            outside.append([])
+            stack.append(len(faces) - 1)
+        new_ids = range(len(faces) - len(horizon), len(faces))
+        for i in orphans:
+            if i == far:
+                continue
+            for gi in new_ids:
+                nn, oo = planes[gi]
+                if pts[i] @ nn - oo > eps:
+                    outside[gi].append(i)
+                    break
+
+    tri = [faces[i] for i in range(len(faces)) if face_alive[i]]
+    used = sorted({v for f in tri for v in f})
+    remap = {v: k for k, v in enumerate(used)}
+    V = pts[used]
+    F = np.asarray([[remap[v] for v in f] for f in tri], np.int64)
+    return V, F
+
+
+def polytope_volume_3d(V: np.ndarray, F: np.ndarray) -> float:
+    """Volume of a closed outward-oriented triangle mesh (divergence
+    theorem over signed tetrahedra)."""
+    v = np.asarray(V, float)
+    f = np.asarray(F, np.int64)
+    a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    return float(np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6.0)
+
+
 def polygon_area(verts: np.ndarray) -> float:
     """Signed area of a 2-D polygon (CCW positive)."""
     v = np.asarray(verts, float)

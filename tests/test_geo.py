@@ -76,3 +76,53 @@ def test_halfspace_vertices_unit_box():
     v = geo.halfspace_polytope_vertices_2d(A, b)
     assert len(v) == 4
     assert abs(geo.polygon_area(v) - 4.0) < 1e-9
+
+
+def test_convex_hull_3d_cube_with_interior_points():
+    """Hull of cube corners + interior points = exactly the 8 corners,
+    watertight (Euler V-E+F=2), outward faces, volume 8."""
+    rng = np.random.default_rng(0)
+    corners = np.asarray([[x, y, z] for x in (-1.0, 1.0)
+                          for y in (-1.0, 1.0) for z in (-1.0, 1.0)])
+    interior = rng.uniform(-0.9, 0.9, (200, 3))
+    V, F = geo.convex_hull_3d(np.concatenate([corners, interior]))
+    assert len(V) == 8
+    assert {tuple(v) for v in V} == {tuple(c) for c in corners}
+    edges = {frozenset((f[i], f[(i + 1) % 3])) for f in F
+             for i in range(3)}
+    assert len(V) - len(edges) + len(F) == 2        # Euler
+    assert abs(geo.polytope_volume_3d(V, F) - 8.0) < 1e-9
+    # outward orientation: every vertex on/behind every face plane
+    for f in F:
+        n = np.cross(V[f[1]] - V[f[0]], V[f[2]] - V[f[0]])
+        assert ((V - V[f[0]]) @ n <= 1e-9).all()
+
+
+def test_convex_hull_3d_random_cloud_contains_all_points():
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(300, 3))
+    V, F = geo.convex_hull_3d(pts)
+    for f in F:
+        n = np.cross(V[f[1]] - V[f[0]], V[f[2]] - V[f[0]])
+        n /= np.linalg.norm(n)
+        assert ((pts - V[f[0]]) @ n <= 1e-7).all()
+    # hull vertices are a subset of the input
+    inp = {tuple(np.round(p, 12)) for p in pts}
+    assert all(tuple(np.round(v, 12)) in inp for v in V)
+    # volume below the bounding box's, above a centered octahedron's
+    bb = pts.max(0) - pts.min(0)
+    vol = geo.polytope_volume_3d(V, F)
+    assert 0.0 < vol < np.prod(bb)
+
+
+def test_convex_hull_3d_degenerate_raises():
+    with pytest.raises(ValueError):
+        geo.convex_hull_3d(np.zeros((10, 3)))        # coincident
+    line = np.linspace(0, 1, 9)[:, None] * np.ones((1, 3))
+    with pytest.raises(ValueError):
+        geo.convex_hull_3d(line)                     # collinear
+    rng = np.random.default_rng(1)
+    planar = np.concatenate([rng.normal(size=(20, 2)),
+                             np.zeros((20, 1))], axis=1)
+    with pytest.raises(ValueError):
+        geo.convex_hull_3d(planar)                   # coplanar
