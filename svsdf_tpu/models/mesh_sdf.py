@@ -224,6 +224,78 @@ class GridSDF2D:
         return self.sdf_xy(p[..., 0], p[..., 1])
 
 
+@dataclasses.dataclass(frozen=True)
+class GridSDF3D:
+    """Volumetric SDF grid with trilinear device interpolation —
+    the 3-D analogue of GridSDF2D, used by the 3-D swept-volume
+    surface extraction (viz/swept_surface.py). Mirrors the grid-SDF
+    trilinear scheme of the reference's map (GridMap3D.h:55-128)
+    applied to the robot mesh instead of per-query libigl evaluation
+    (Shape.hpp:332-340)."""
+    values: tuple
+    x0: float
+    y0: float
+    z0: float
+    step: float
+    nx: int
+    ny: int
+    nz: int
+
+    @property
+    def field(self):
+        return jnp.asarray(np.asarray(self.values).reshape(
+            self.nx, self.ny, self.nz))
+
+    def sdf_xyz(self, px, py, pz):
+        f = self.field
+        gx = (px - self.x0) / self.step
+        gy = (py - self.y0) / self.step
+        gz = (pz - self.z0) / self.step
+        gx_c = jnp.clip(gx, 0.0, self.nx - 1.001)
+        gy_c = jnp.clip(gy, 0.0, self.ny - 1.001)
+        gz_c = jnp.clip(gz, 0.0, self.nz - 1.001)
+        ix = jnp.floor(gx_c).astype(jnp.int32)
+        iy = jnp.floor(gy_c).astype(jnp.int32)
+        iz = jnp.floor(gz_c).astype(jnp.int32)
+        fx, fy, fz = gx_c - ix, gy_c - iy, gz_c - iz
+        v = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = ((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                         * (fz if dz else 1 - fz))
+                    v = v + w * f[ix + dx, iy + dy, iz + dz]
+        d2 = (jnp.maximum(gx - gx_c, 0.0) ** 2
+              + jnp.maximum(-gx, 0.0) ** 2
+              + jnp.maximum(gy - gy_c, 0.0) ** 2
+              + jnp.maximum(-gy, 0.0) ** 2
+              + jnp.maximum(gz - gz_c, 0.0) ** 2
+              + jnp.maximum(-gz, 0.0) ** 2)
+        outside = self.step * jnp.where(
+            d2 > 0.0, jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0)), 0.0)
+        return v + outside
+
+
+def grid_sdf_3d(V, F, resolution: float = 0.1,
+                margin: float = 1.0) -> GridSDF3D:
+    """One-time host precompute of a mesh's volumetric SDF grid
+    (exact point-triangle distance + generalized winding-number sign,
+    the quantities igl::AABB/fast_winding_number produce in
+    Shape.hpp:311-340)."""
+    lo = V.min(axis=0) - margin
+    hi = V.max(axis=0) + margin
+    ns = [int(np.ceil((hi[k] - lo[k]) / resolution)) + 1
+          for k in range(3)]
+    axes = [lo[k] + np.arange(ns[k]) * resolution for k in range(3)]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+    vals = mesh_sdf_points(pts, V, F).astype(np.float32)
+    return GridSDF3D(values=tuple(vals.tolist()),
+                     x0=float(lo[0]), y0=float(lo[1]), z0=float(lo[2]),
+                     step=float(resolution),
+                     nx=ns[0], ny=ns[1], nz=ns[2])
+
+
 def shape_from_mesh(objpath: str, resolution: float = 0.05,
                     margin: float = 2.0,
                     poly_params=(0.0, 0.0, 0.0)) -> Shape2D:
