@@ -8,8 +8,12 @@ certificate (min SVSDF over the harvested obstacle set and over a
 dense map-wide obstacle sample), and stage timings.
 
 Usage:
-    python scripts/run_scenarios.py                 # all scenarios
+    python scripts/run_scenarios.py                 # all 13 reference scenarios
     python scripts/run_scenarios.py sdHeart star    # subset
+    python scripts/run_scenarios.py --extras        # + 5 synthetic gate maps
+                                                    #   (shapes with no
+                                                    #   reference fixture)
+    python scripts/run_scenarios.py synthetic_bigX  # one synthetic
     JAX_PLATFORMS=cpu python scripts/run_scenarios.py   # force CPU
 
 Writes scenario_results.json in the CWD and prints one summary line
@@ -35,7 +39,10 @@ def run_one(name: str) -> dict:
 
     rec = {"name": name}
     t0 = time.time()
-    sc = fixtures.load_scenario(name)
+    if name.startswith("synthetic_"):
+        sc = fixtures.synthetic_scenario(name.removeprefix("synthetic_"))
+    else:
+        sc = fixtures.load_scenario(name)
     svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
                       gsip_coarse_n=64, gsip_refine_rounds=1)
     try:
@@ -100,7 +107,12 @@ def main():
 
     from svsdf_tpu.utils import fixtures
 
-    names = sys.argv[1:] or fixtures.list_scenarios()
+    args = [a for a in sys.argv[1:] if a != "--extras"]
+    names = args or fixtures.list_scenarios()
+    if "--extras" in sys.argv[1:]:
+        # the 5 analytic shapes the reference ships no fixtures for
+        names = names + ["synthetic_" + n
+                         for n in fixtures.list_synthetic_scenarios()]
     out = []
     for name in names:
         rec = run_one(name)

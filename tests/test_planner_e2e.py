@@ -401,3 +401,26 @@ def test_nudge_waypoints_moves_near_waypoints_away():
     # tau untouched, input not mutated
     np.testing.assert_array_equal(out[:n], np.zeros(n))
     assert x[n + 4] == 0.0
+
+
+def test_synthetic_scenario_bigx_end_to_end():
+    """Gate-map synthetic fixture (shapes without reference demos must
+    still plan end-to-end): bigX through a sized gap, collision-free
+    over the harvested obstacle set."""
+    from svsdf_tpu.utils import fixtures
+    from svsdf_tpu.utils import trajectory as trj
+
+    sc = fixtures.synthetic_scenario("bigX")
+    svs = SVSDFConfig(coarse_n=96, refine_rounds=2, gsip_iters=4,
+                      gsip_coarse_n=48, gsip_refine_rounds=1)
+    pl = Planner(sc.config, sc.map_points, svs_cfg=svs,
+                 fine_yaw_factor=0)
+    res = pl.plan(sc.start, sc.goal, mid_iters=40, back_iters=80,
+                  certify_retries=0, certify_rounds=1)
+    assert res.success
+    pT = np.asarray(trj.pos(res.traj,
+                            float(res.traj.total_duration) - 1e-6))
+    assert np.linalg.norm(pT[:2] - sc.goal[:2]) < 1.0
+    q = svsdf_query(pl.shape, res.traj,
+                    jnp.asarray(res.obstacles[:, :2]), svs)
+    assert float(q.sdf.min()) > 0.0
