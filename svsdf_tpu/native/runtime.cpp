@@ -145,7 +145,8 @@ int64_t svsdf_astar(const uint8_t* feas, const uint8_t* trans_feas,
       if (tg < g[nn]) {
         g[nn] = tg;
         parent[nn] = c;
-        if (state[nn] == 0) ybin[nn] = cbin;  // yaw fixed at discovery
+        ybin[nn] = cbin;  // bin tracks the winning parent (veto + cost
+                          // above were evaluated for cbin)
         state[nn] = 1;
         open.push({tg + heu(ni, nj, gi, gj), counter++, ni, nj});
       }

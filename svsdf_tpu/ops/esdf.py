@@ -72,9 +72,20 @@ def esdf_with_grad(occ, resolution: float):
     f = esdf(occ, resolution)
     grads = []
     for axis in range(f.ndim):
-        fp = jnp.roll(f, -1, axis)
-        fm = jnp.roll(f, 1, axis)
-        g = (fp - fm) / (2.0 * resolution)
+        # central differences in the interior, one-sided at the edges
+        # (jnp.roll would wrap and mix in field values from the
+        # opposite map border, pointing boundary gradients anywhere)
+        fp = jnp.concatenate(
+            [jnp.take(f, jnp.arange(1, f.shape[axis]), axis),
+             jnp.take(f, jnp.asarray([f.shape[axis] - 1]), axis)], axis)
+        fm = jnp.concatenate(
+            [jnp.take(f, jnp.asarray([0]), axis),
+             jnp.take(f, jnp.arange(0, f.shape[axis] - 1), axis)], axis)
+        # interior: (f[i+1]-f[i-1])/2h; edges: (f[1]-f[0])/h, (f[n-1]-f[n-2])/h
+        denom = jnp.full(f.shape[axis], 2.0).at[0].set(1.0).at[-1].set(1.0)
+        shape = [1] * f.ndim
+        shape[axis] = -1
+        g = (fp - fm) / (denom.reshape(shape) * resolution)
         grads.append(g)
     return f, jnp.stack(grads, axis=-1)
 

@@ -90,7 +90,21 @@ def rasterize_shape_kernels(shape: Shape2D, kernel_size: int,
 
     def one(yaw):
         def at(dy):
-            return shape.sdf_with_rot(pts, yaw + dy) <= safemargin
+            # body frame via p_rel = R(yaw)^T p — the SAME convention
+            # as the transition stencils, the SVSDF query and the
+            # certifier (posEva2Rel, sw_manager.hpp:521), so a shape
+            # whose poly_params carry a translation keeps its offset
+            # rotating WITH the robot everywhere. (The reference's
+            # kernel path holds the offset world-fixed instead,
+            # Shape.hpp:481-484 — inconsistent with its own
+            # trajectory-time queries; with sdCutDisk's
+            # poly_params=[0,-3,0] the two placements differ by up
+            # to 6 m across yaw bins.)
+            yy = yaw + dy
+            c, s = jnp.cos(yy), jnp.sin(yy)
+            prx = c * pts[..., 0] + s * pts[..., 1]
+            pry = -s * pts[..., 0] + c * pts[..., 1]
+            return shape.sdf_xy(prx, pry) <= safemargin
         return jnp.any(jax.vmap(at)(deltas), axis=0)
 
     return jax.vmap(one)(yaws)

@@ -151,8 +151,11 @@ def search(grid: GridMap, feas: np.ndarray, trans_feas: Optional[np.ndarray],
             if tg < g_score[ni, nj]:
                 g_score[ni, nj] = tg
                 parent[ni, nj] = cur
-                if state[ni, nj] == 0:
-                    yaw_bins[ni, nj] = cbin   # yaw fixed at discovery
+                # the bin must track the WINNING parent: the transition
+                # veto and the yaw-change cost above were evaluated for
+                # cbin, so keeping a stale bin from an earlier discovery
+                # would emit a path transition that was never checked
+                yaw_bins[ni, nj] = cbin
                 state[ni, nj] = 1
                 counter += 1
                 heapq.heappush(open_heap,

@@ -51,6 +51,29 @@ class MidEndProblem(NamedTuple):
     ref_rots: jnp.ndarray    # (N-1, 3, 3) attitude refs (att_constraints)
 
 
+def attitude_cost(quat, rot_ref):
+    """Attitude attraction 6 - 2*tr(R_ref^T R(q)) expanded in quaternion
+    components (costaltitude, mid_end.hpp:374-392). quat (..., 4) wxyz,
+    rot_ref (..., 3, 3); zero iff R(q) == R_ref."""
+    w, x, y, z = (quat[..., 0], quat[..., 1], quat[..., 2],
+                  quat[..., 3])
+    a0, a1, a2 = (rot_ref[..., 0, 0], rot_ref[..., 0, 1],
+                  rot_ref[..., 0, 2])
+    b0, b1, b2 = (rot_ref[..., 1, 0], rot_ref[..., 1, 1],
+                  rot_ref[..., 1, 2])
+    c0, c1, c2 = (rot_ref[..., 2, 0], rot_ref[..., 2, 1],
+                  rot_ref[..., 2, 2])
+    return (2 * a0 * (2 * y * y + 2 * z * z - 1)
+            + 2 * b1 * (2 * x * x + 2 * z * z - 1)
+            + 2 * c2 * (2 * x * x + 2 * y * y - 1)
+            + 2 * a1 * (2 * w * z - 2 * x * y)
+            - 2 * a2 * (2 * w * y + 2 * x * z)
+            - 2 * b0 * (2 * w * z + 2 * x * y)
+            + 2 * b2 * (2 * w * x - 2 * y * z)
+            + 2 * c0 * (2 * w * y - 2 * x * z)
+            - 2 * c1 * (2 * w * x + 2 * y * z) + 6)
+
+
 def _integral_penalty(traj: trj.Trajectory, cfg: PlannerConfig,
                       fparams: flatness.FlatnessParams, ref_rots):
     """Quadrature dynamic-feasibility penalty
@@ -88,23 +111,7 @@ def _integral_penalty(traj: trj.Trajectory, cfg: PlannerConfig,
         krt = wc2(norm_t)
         rot_ref = jnp.where(use_l[..., None, None], rot_l[:, None],
                             rot_r[:, None])
-        w, x, y, z = (quat[..., 0], quat[..., 1], quat[..., 2],
-                      quat[..., 3])
-        a0, a1, a2 = (rot_ref[..., 0, 0], rot_ref[..., 0, 1],
-                      rot_ref[..., 0, 2])
-        b0, b1, b2 = (rot_ref[..., 1, 0], rot_ref[..., 1, 1],
-                      rot_ref[..., 1, 2])
-        c0, c1, c2 = (rot_ref[..., 2, 0], rot_ref[..., 2, 1],
-                      rot_ref[..., 2, 2])
-        cost_att = (2 * a0 * (2 * y * y + 2 * z * z - 1)
-                    + 2 * b1 * (2 * x * x + 2 * z * z - 1)
-                    + 2 * c2 * (2 * x * x + 2 * y * y - 1)
-                    + 2 * a1 * (2 * w * z - 2 * x * y)
-                    - 2 * a2 * (2 * w * y + 2 * x * z)
-                    - 2 * b0 * (2 * w * z + 2 * x * y)
-                    + 2 * b2 * (2 * w * x - 2 * y * z)
-                    + 2 * c0 * (2 * w * y - 2 * x * z)
-                    - 2 * c1 * (2 * w * x + y * z) + 6)
+        cost_att = attitude_cost(quat, rot_ref)
         pena = pena + (krt * cfg.weight_ar
                        * smoothed_l1(cost_att, cfg.smoothingEps))
 

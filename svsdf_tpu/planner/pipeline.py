@@ -64,6 +64,7 @@ class Planner:
         #: bins, which no optimizer polish can certify away.
         self._fine_yaw_factor = max(int(fine_yaw_factor), 0)
         self._map_points = np.asarray(map_points)
+        self._yaw_substeps = conservative_yaw_substeps
         self._fine_planners: dict = {}
         self.shape = shapes.shape_from_objpath(config.inputdata,
                                                config.poly_params)
@@ -267,14 +268,20 @@ class Planner:
         best = None
         occ2d_dev = None
         pl = parlength
+        stopped = False
         n_attempts = 1 + max(certify_retries, 0)
-        for attempt in range(n_attempts):
+        attempt = -1
+        while attempt + 1 < n_attempts:
+            attempt += 1
             if attempt > 0 and BUS.stop_requested:
                 # debug_cmd early exit: best-so-far (§3.5). One-shot:
                 # consume the request so it cannot silently degrade
                 # every FUTURE plan (the reference's code-21 aborts
-                # exactly one optimization run).
+                # exactly one optimization run). `stopped` also skips
+                # the fine-yaw escalation below — an abort must not
+                # trigger minutes of fine-kernel rebuilds.
                 BUS.clear_stop()
+                stopped = True
                 break
             conservative = (n_attempts >= 3
                             and attempt == n_attempts - 1)
@@ -298,6 +305,17 @@ class Planner:
                 # rung then certifies).
                 if best is None:
                     best = res
+                if not conservative and occ2d_dev is None:
+                    # the search is deterministic and neither the
+                    # blocked map nor the conservative stencils would
+                    # change on the next rung's inputs — rerunning the
+                    # identical attempt fails identically. Jump
+                    # straight to the conservative rung (or give up
+                    # if the ladder has none).
+                    if n_attempts >= 3:
+                        attempt = n_attempts - 2
+                    else:
+                        break
                 continue
             if res.certified or math.isnan(res.min_cert_sdf):
                 return res
@@ -337,7 +355,7 @@ class Planner:
         # uncertified — retry at escalating yaw discretizations (see
         # __init__: sdCutDisk certifies at 36 bins, never at 18;
         # long thin shapes may need the factor² step).
-        if self._fine_yaw_factor > 1:
+        if self._fine_yaw_factor > 1 and not stopped:
             f = self._fine_yaw_factor
             for factor in (f, f * f):
                 if best is not None and best.certified:
@@ -377,6 +395,7 @@ class Planner:
             self._fine_planners[factor] = Planner(
                 cfg, self._map_points, svs_cfg=self.svs_cfg,
                 use_transition_check=self.guard_ladder != [None],
+                conservative_yaw_substeps=self._yaw_substeps,
                 fine_yaw_factor=0)
         return self._fine_planners[factor]
 

@@ -69,10 +69,16 @@ def distance_field(free, goal_ij, max_iters: int | None = None):
     """Exact 8-connected geodesic cost-to-go to goal_ij over free
     cells. free: (X, Y) bool. Returns (X, Y) float32 (INF = blocked /
     unreachable). Runs Bellman–Ford sweeps until the field stops
-    changing (while_loop; under vmap lanes converge independently)."""
+    changing (while_loop; under vmap lanes converge independently).
+    max_iters is only a safety cap: it defaults to X*Y, the true
+    worst-case geodesic length in cells (a serpentine corridor is
+    ~X*Y/2 cells — a smaller default would silently truncate the
+    relaxation and report reachable goals as unreachable). Callers
+    with known-benign maps may pass a tighter cap; convergence stops
+    the loop far earlier in practice."""
     X, Y = free.shape
     if max_iters is None:
-        max_iters = X + Y + 8
+        max_iters = X * Y
     d0 = jnp.full((X, Y), INF, jnp.float32)
     d0 = d0.at[goal_ij[0], goal_ij[1]].set(0.0)
     freef = jnp.where(free, 0.0, INF).astype(jnp.float32)
@@ -176,10 +182,20 @@ def plan(free, feas, start_ij, goal_ij, max_len: int = 512,
 def path_to_world(grid, path_ij, yaw_bins, length, yaw_num: int):
     """Host helper: (L,2) cells + bins -> (length, 3) world x,y,yaw
     (getastarSE3Path's output convention, front_end_Astar.hpp:392)."""
-    from svsdf_tpu.ops.kernels import bin_yaw
     path_ij = np.asarray(path_ij)[:int(length)]
     yaw_bins = np.asarray(yaw_bins)[:int(length)]
     xy = np.asarray([grid.cube_center((i, j, 0))[:2]
                      for (i, j) in path_ij])
-    yaw = np.asarray([bin_yaw(yaw_num, int(b)) for b in yaw_bins])
+    # short-arc yaw unwrapping, identical to astar._emit_path: yaw is
+    # an R^3 spline coordinate downstream, so consecutive values must
+    # differ by the physical rotation, never jump the +-pi bin seam
+    yaw = np.zeros(len(path_ij))
+    acc = 0.0
+    prev_b = int(yaw_bins[0]) if len(yaw_bins) else 0
+    half = yaw_num // 2
+    for i, b in enumerate(yaw_bins):
+        dbin = (int(b) - prev_b + half) % yaw_num - half
+        acc += dbin * (2.0 * np.pi / yaw_num)
+        yaw[i] = acc
+        prev_b = int(b)
     return np.concatenate([xy, yaw[:, None]], axis=1)

@@ -196,3 +196,44 @@ def test_conservative_yaw_kernels_superset():
                                                    0.5, yaw_substeps=5))
     assert np.all(cons[plain])           # superset per bin
     assert cons.sum() > plain.sum()      # strictly grows for this shape
+
+
+def test_esdf_grad_no_boundary_wraparound():
+    """Gradients at map edges use one-sided differences — the field's
+    own finite difference, never values rolled in from the opposite
+    border (regression for the jnp.roll wraparound)."""
+    occ = np.zeros((16, 12, 1))
+    occ[14, 6, 0] = 1                      # obstacle near the +x edge
+    f, g = esdf_ops.esdf_with_grad(jnp.asarray(occ), 1.0)
+    f = np.asarray(f)[..., 0]
+    g = np.asarray(g)[..., 0, :]
+    # at i=0 the x-gradient must match (f[1]-f[0])/h exactly
+    np.testing.assert_allclose(g[0, :, 0], f[1] - f[0], atol=1e-6)
+    np.testing.assert_allclose(g[-1, :, 0], f[-1] - f[-2], atol=1e-6)
+    # distance to the obstacle DECREASES toward it: gradient at the
+    # far edge (i=0) points away from the obstacle (positive df/dx
+    # would mean distance grows with x; here it must shrink)
+    assert np.all(g[0, 5:8, 0] < 0.0)
+    # interior stays central
+    np.testing.assert_allclose(g[7, :, 0], (f[8] - f[6]) / 2.0,
+                               atol=1e-6)
+
+
+def test_shape_kernels_rotate_poly_param_offset_with_robot():
+    """A shape whose poly_params carry a translation must have its
+    stencil offset rotate WITH the yaw bin (the body-frame convention
+    used by the SVSDF query and the transition stencils)."""
+    import math
+    shape = shapes.make_shape("Circle", poly_params=(0.0, -3.0, 0.0))
+    K = 4
+    kern = np.asarray(kops.rasterize_shape_kernels(
+        shape, 15, K, 1.0, 0.5))
+    for b in range(K):
+        yaw = kops.bin_yaw(K, b)
+        # circle center in the world frame: R(yaw) @ t
+        cx = -math.sin(yaw) * -3.0
+        cy = math.cos(yaw) * -3.0
+        ii, jj = np.nonzero(kern[b])
+        cells = np.stack([ii - 7, jj - 7], -1).astype(float)  # world offs
+        d = np.linalg.norm(cells - [cx, cy], axis=1)
+        assert d.max() < 1.0 + 0.5 + 0.8   # radius + margin + cell diag

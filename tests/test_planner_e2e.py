@@ -424,3 +424,35 @@ def test_synthetic_scenario_bigx_end_to_end():
     q = svsdf_query(pl.shape, res.traj,
                     jnp.asarray(res.obstacles[:, :2]), svs)
     assert float(q.sdf.min()) > 0.0
+
+
+def test_attitude_cost_trace_identity():
+    """attitude_cost == 6 - 2*tr(R_ref^T R(q)) for arbitrary reference
+    rotations (not just yaw-only), and exactly 0 at R_ref == R(q)."""
+    from svsdf_tpu.planner.mid_end import attitude_cost
+
+    rng = np.random.default_rng(0)
+
+    def quat_to_rot(q):
+        w, x, y, z = q
+        return np.asarray([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+             2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x),
+             1 - 2 * (x * x + y * y)]])
+
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        qr = rng.normal(size=4)
+        qr /= np.linalg.norm(qr)
+        R_ref = quat_to_rot(qr)
+        got = float(attitude_cost(jnp.asarray(q), jnp.asarray(R_ref)))
+        want = 6.0 - 2.0 * np.trace(R_ref.T @ quat_to_rot(q))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        # zero at the reference attitude itself
+        self_cost = float(attitude_cost(jnp.asarray(q),
+                                        jnp.asarray(quat_to_rot(q))))
+        np.testing.assert_allclose(self_cost, 0.0, atol=1e-12)

@@ -119,3 +119,43 @@ def test_matches_astar_cost_on_random_grids():
         cost = sum(np.sqrt(2.0) if (s == 1).all() else 1.0
                    for s in steps)
         np.testing.assert_allclose(cost, start_cost, atol=1e-3)
+
+
+def test_serpentine_corridor_longer_than_x_plus_y():
+    """A geodesic of ~X*Y/2 cells must converge (regression: the old
+    default sweep cap X+Y+8 silently truncated the relaxation and
+    reported reachable goals unreachable)."""
+    X, Y = 21, 21
+    free = np.ones((X, Y), bool)
+    # serpentine: walls across all but one end column, alternating
+    for r, i in enumerate(range(2, X - 1, 2)):
+        free[i, :] = False
+        if r % 2 == 0:
+            free[i, Y - 1] = True
+        else:
+            free[i, 0] = True
+    start = jnp.asarray([0, 0])
+    goal = jnp.asarray([X - 1, Y - 1])
+    dist = wavefront.distance_field(jnp.asarray(free), goal)
+    d0 = float(dist[0, 0])
+    assert d0 < 1e8                       # reachable
+    assert d0 > (X + Y + 8)               # genuinely longer than old cap
+    path, length, success = wavefront.extract_path(dist, start,
+                                                   max_len=512)
+    assert bool(success)
+
+
+def test_path_to_world_unwraps_yaw_across_seam():
+    """Bins crossing the K-1 -> 0 seam must emit a small physical yaw
+    step, not a ~2*pi spin (same contract as astar._emit_path)."""
+    from svsdf_tpu.utils.gridmap import GridMap
+
+    pts = np.asarray([[0.05, 0.05, 0.05], [9.9, 9.9, 1.9]])
+    grid = GridMap.from_points(pts, 1.0, 1)
+    K = 8
+    path_ij = jnp.asarray([[1, 1], [2, 2], [3, 3], [4, 4]])
+    bins = jnp.asarray([6, 7, 0, 1])      # crosses the seam twice
+    out = wavefront.path_to_world(grid, path_ij, bins,
+                                  jnp.asarray(4), K)
+    steps = np.diff(out[:, 2])
+    assert np.all(np.abs(steps) < 2 * np.pi / K + 1e-9)
