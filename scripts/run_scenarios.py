@@ -118,10 +118,24 @@ def main():
         rec = run_one(name)
         out.append(rec)
         print(json.dumps(rec), flush=True)
-        with open("scenario_results.json", "w") as f:
-            json.dump(out, f, indent=1)
+        merge_result("scenario_results.json", rec)
     n_ok = sum(1 for r in out if r.get("success"))
     print(f"# {n_ok}/{len(out)} scenarios succeeded", flush=True)
+
+
+def merge_result(path: str, rec: dict) -> None:
+    """Upsert one scenario record into the results file. A subset
+    re-run (`run_scenarios.py sdCutDisk`) must update that one row and
+    keep the other 12 — an interrupted full run once wiped them."""
+    try:
+        with open(path) as f:
+            merged = {r["name"]: r for r in json.load(f)}
+    except (OSError, ValueError):
+        merged = {}
+    merged[rec["name"]] = rec
+    with open(path, "w") as f:
+        json.dump(sorted(merged.values(), key=lambda r: r["name"]),
+                  f, indent=1)
 
 
 if __name__ == "__main__":

@@ -82,3 +82,33 @@ def test_start_end_fixture_roundtrip(tmp_path):
     start, goal = load_start_end(p)
     np.testing.assert_allclose(start, [1.0, 2.0, 0.5])
     np.testing.assert_allclose(goal, [8.0, -1.0, 0.1])
+
+
+def test_scenario_results_merge_preserves_other_rows(tmp_path):
+    """A subset scenario re-run must upsert its row, not clobber the
+    full results file (scripts/run_scenarios.py merge_result)."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_scenarios",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "run_scenarios.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    path = str(tmp_path / "scenario_results.json")
+    with open(path, "w") as f:
+        json.dump([{"name": "sdHeart", "success": True},
+                   {"name": "sdCutDisk", "success": False}], f)
+    mod.merge_result(path, {"name": "sdCutDisk", "success": True})
+    with open(path) as f:
+        rows = {r["name"]: r for r in json.load(f)}
+    assert rows["sdCutDisk"]["success"] is True
+    assert rows["sdHeart"]["success"] is True      # preserved
+    # fresh file: merge into nothing
+    path2 = str(tmp_path / "new.json")
+    mod.merge_result(path2, {"name": "star", "success": True})
+    with open(path2) as f:
+        assert [r["name"] for r in json.load(f)] == ["star"]
