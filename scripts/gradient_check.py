@@ -133,13 +133,21 @@ def render_esdf_slice(out_path: str) -> None:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    esdf_out = None
+    if "--esdf" in argv:
+        i = argv.index("--esdf")
+        nxt = argv[i + 1] if i + 1 < len(argv) else None
+        esdf_out = nxt if nxt and not nxt.startswith("--") \
+            else "esdf_slice.png"
+        # consume the flag AND its value so the output filename can't
+        # leak into the positional shape argument (ADVICE.md round 1)
+        argv = argv[:i] + argv[i + (2 if esdf_out == nxt else 1):]
+    args = [a for a in argv if not a.startswith("--")]
     shape = args[0] if args else "sdHeart"
     ok = check_svsdf_grad(shape) & check_backend_cost_grad(shape)
-    if "--esdf" in sys.argv:
-        i = sys.argv.index("--esdf")
-        out = sys.argv[i + 1] if i + 1 < len(sys.argv) else "esdf_slice.png"
-        render_esdf_slice(out)
+    if esdf_out:
+        render_esdf_slice(esdf_out)
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -5,19 +5,21 @@ The reference's de facto regression suite is its 13 shape scenarios
 This runner replays them end-to-end through the framework and records,
 per scenario: plan success, mid/back-end costs, a collision-free
 certificate (min SVSDF over the harvested obstacle set and over a
-dense map-wide obstacle sample), and stage timings.
+dense map-wide obstacle sample), per-stage timings, and — with
+--warm — the warm replan wall time (a second plan() on the same
+Planner, every executable already compiled: the number comparable to
+the reference's interactive replan latency).
 
 Usage:
     python scripts/run_scenarios.py                 # all 13 reference scenarios
     python scripts/run_scenarios.py sdHeart star    # subset
     python scripts/run_scenarios.py --extras        # + 5 synthetic gate maps
-                                                    #   (shapes with no
-                                                    #   reference fixture)
-    python scripts/run_scenarios.py synthetic_bigX  # one synthetic
+    python scripts/run_scenarios.py --warm          # also measure warm replan
+    python scripts/run_scenarios.py --solver lmbm   # back end via LMBM
     JAX_PLATFORMS=cpu python scripts/run_scenarios.py   # force CPU
 
-Writes scenario_results.json in the CWD and prints one summary line
-per scenario.
+Writes scenario_results.json in the CWD (or $SVSDF_RESULTS) and prints
+one summary line per scenario.
 """
 
 import json
@@ -30,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_one(name: str) -> dict:
+def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
     import jax.numpy as jnp
     from svsdf_tpu.ops.svsdf import SVSDFConfig, svsdf_query
     from svsdf_tpu.planner.pipeline import Planner
@@ -38,15 +40,19 @@ def run_one(name: str) -> dict:
     from svsdf_tpu.utils import trajectory as trj
 
     rec = {"name": name}
+    if solver != "lbfgs":
+        rec["solver"] = solver
     t0 = time.time()
     if name.startswith("synthetic_"):
         sc = fixtures.synthetic_scenario(name.removeprefix("synthetic_"))
     else:
         sc = fixtures.load_scenario(name)
     svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
-                      gsip_coarse_n=64, gsip_refine_rounds=1)
+                      gsip_coarse_n=64, gsip_refine_rounds=1,
+                      refine_interp_n=512, gsip_fori=True)
     try:
-        planner = Planner(sc.config, sc.map_points, svs_cfg=svs)
+        planner = Planner(sc.config, sc.map_points, svs_cfg=svs,
+                          solver=solver)
         rec["build_s"] = round(time.time() - t0, 1)
         t0 = time.time()
         res = planner.plan(sc.start, sc.goal)
@@ -57,6 +63,8 @@ def run_one(name: str) -> dict:
         # None (JSON null) for unexamined plans — NaN is not valid
         # strict JSON and breaks downstream parsers
         rec["min_cert_sdf"] = round(m, 4) if np.isfinite(m) else None
+        if res.timings:
+            rec["timings"] = res.timings
         if not res.success:
             return rec
         rec["astar_len"] = int(len(res.astar_path))
@@ -73,21 +81,17 @@ def run_one(name: str) -> dict:
                             jnp.asarray(res.obstacles[:, :2]), svs)
             rec["min_svsdf_harvest"] = round(float(q.sdf.min()), 4)
         # certificate 2: every occupied voxel center in the 2-D slice
-        occ = planner.grid.occ2d
-        ii, jj = np.nonzero(occ)
-        pts = np.stack([
-            planner.grid.xyz_min[0] + (ii + 0.5) * planner.grid.resolution,
-            planner.grid.xyz_min[1] + (jj + 0.5) * planner.grid.resolution,
-        ], axis=-1)
+        # near the trajectory (one jitted dispatch via Planner.certify)
+        pts, sdf = planner.certify(res.traj)
         if len(pts):
-            chunk = 4096
-            mins = []
-            for s in range(0, len(pts), chunk):
-                q = svsdf_query(planner.shape, res.traj,
-                                jnp.asarray(pts[s:s + chunk], jnp.float32),
-                                svs, with_inside=False)
-                mins.append(float(q.sdf.min()))
-            rec["min_svsdf_map"] = round(min(mins), 4)
+            rec["min_svsdf_map"] = round(float(sdf.min()), 4)
+        if warm:
+            # warm replan: same planner, every executable compiled —
+            # the reference-comparable interactive replan number
+            t0 = time.time()
+            res2 = planner.plan(sc.start, sc.goal)
+            rec["plan_warm_s"] = round(time.time() - t0, 1)
+            rec["warm_certified"] = bool(res2.certified)
     except Exception as e:                             # noqa: BLE001
         rec["success"] = False
         rec["error"] = f"{type(e).__name__}: {e}"
@@ -107,18 +111,33 @@ def main():
 
     from svsdf_tpu.utils import fixtures
 
-    args = [a for a in sys.argv[1:] if a != "--extras"]
+    argv = sys.argv[1:]
+    solver = "lbfgs"
+    if "--solver" in argv:
+        i = argv.index("--solver")
+        solver = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    flags = {a for a in argv if a.startswith("--")}
+    args = [a for a in argv if not a.startswith("--")]
+    full_run = not args
     names = args or fixtures.list_scenarios()
-    if "--extras" in sys.argv[1:]:
+    if "--extras" in flags:
         # the 5 analytic shapes the reference ships no fixtures for
         names = names + ["synthetic_" + n
                          for n in fixtures.list_synthetic_scenarios()]
+    results_path = os.environ.get("SVSDF_RESULTS",
+                                  "scenario_results.json")
     out = []
     for name in names:
-        rec = run_one(name)
+        rec = run_one(name, solver=solver, warm="--warm" in flags)
         out.append(rec)
         print(json.dumps(rec), flush=True)
-        merge_result("scenario_results.json", rec)
+        merge_result(results_path, rec)
+    if full_run:
+        # a full run defines the complete scenario set: prune rows for
+        # renamed/removed scenarios so the file can't drift from the
+        # printed summary (stale-row bug, ADVICE.md round 1)
+        prune_results(results_path, {r["name"] for r in out})
     n_ok = sum(1 for r in out if r.get("success"))
     print(f"# {n_ok}/{len(out)} scenarios succeeded", flush=True)
 
@@ -136,6 +155,21 @@ def merge_result(path: str, rec: dict) -> None:
     with open(path, "w") as f:
         json.dump(sorted(merged.values(), key=lambda r: r["name"]),
                   f, indent=1)
+
+
+def prune_results(path: str, keep: set) -> None:
+    """Drop rows not in `keep` (called only after a FULL run, where the
+    run's scenario list is authoritative). Synthetic extras are kept:
+    they are opt-in rows a plain full run doesn't re-produce."""
+    try:
+        with open(path) as f:
+            rows = json.load(f)
+    except (OSError, ValueError):
+        return
+    rows = [r for r in rows
+            if r["name"] in keep or r["name"].startswith("synthetic_")]
+    with open(path, "w") as f:
+        json.dump(sorted(rows, key=lambda r: r["name"]), f, indent=1)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,24 @@ class SVSDFConfig:
     #: refinement rounds restore full precision — only the bracketing
     #: argmin comes from the low-precision pass). None = input dtype.
     scan_dtype: str | None = None
+    #: run the GSIP iterations as a lax.fori_loop with a fixed padded
+    #: sample count instead of unrolled per-iteration static counts.
+    #: ~15% more boundary evals (masked), but the compiled program
+    #: holds ONE GSIP body instead of gsip_iters copies — executables
+    #: embedding the interior solve shrink several-fold, which is what
+    #: bounds cold-start (and cache-load) time on the remote backend.
+    gsip_fori: bool = False
+    #: >0: the refinement rounds read the trajectory pose by LINEAR
+    #: INTERPOLATION from a shared fine table of this many samples
+    #: instead of evaluating the piecewise polynomial per (point,
+    #: sample). The exact per-point pose eval materializes
+    #: (M, S, N_pieces, 6) basis tensors — the single biggest HBM-
+    #: traffic term in the whole op (roofline AI~0.15); the interp
+    #: path costs two (M, S) gathers from a (K_f, 3) table. Pose
+    #: interp error is O((T/K_f)^2 * |acc|) — ~1e-3 m at K_f=512 on
+    #: the scenario trajectories, below the refinement's own bracket
+    #: resolution. 0 = exact polynomial eval (reference semantics).
+    refine_interp_n: int = 0
     #: Pallas coarse-scan kernel (ops/pallas_svsdf.py). Measured on a
     #: real v5e chip (K=256, honest host-readback sync): XLA's fused
     #: min/argmin-into-producer is ~1.4-4x faster than the hand kernel
@@ -156,6 +174,39 @@ def _sdf_points_times(shape: Shape2D, traj, points, t):
     return shape.sdf_xy_t(prx, pry, t)
 
 
+class FineTable(NamedTuple):
+    """Dense (xy, yaw) pose samples for interpolated per-point pose
+    reads (SVSDFConfig.refine_interp_n)."""
+    xy: jnp.ndarray    # (K_f, 2)
+    yaw: jnp.ndarray   # (K_f,)
+
+
+def make_fine_table(traj: trj.Trajectory, n: int) -> FineTable:
+    ts = jnp.linspace(0.0, traj.total_duration, n)
+    xy, yaw, _ = trj.state_se2(traj, ts)
+    return FineTable(xy, yaw)
+
+
+def _sdf_points_times_interp(shape: Shape2D, ft: FineTable, total,
+                             points, t):
+    """Interpolated-pose variant of _sdf_points_times: pose at each
+    (point, sample) time comes from a lerp of the shared fine table —
+    two small gathers instead of an N_pieces-wide polynomial eval.
+    Yaw lerps directly (the yaw channel is an unwrapped R spline
+    coordinate, never seam-wrapped; utils/trajectory.py state_se2)."""
+    kf = ft.xy.shape[0]
+    u = jnp.clip(t / total, 0.0, 1.0) * (kf - 1)
+    i0 = jnp.clip(u.astype(jnp.int32), 0, kf - 2)
+    w = (u - i0)[..., None]
+    xy = ft.xy[i0] * (1.0 - w) + ft.xy[i0 + 1] * w        # (M,S,2)
+    yaw = ft.yaw[i0] * (1.0 - w[..., 0]) + ft.yaw[i0 + 1] * w[..., 0]
+    d = points[:, None, :] - xy
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    prx = c * d[..., 0] + s * d[..., 1]
+    pry = -s * d[..., 0] + c * d[..., 1]
+    return shape.sdf_xy_t(prx, pry, t)
+
+
 def tstar_search_batch(shape, traj, points, cfg: SVSDFConfig,
                        table: PoseTable | None = None):
     """Batched argmin of SDF over trajectory time for M points.
@@ -221,9 +272,15 @@ def tstar_search_batch(shape, traj, points, cfg: SVSDFConfig,
     sn = max(cfg.refine_n, 4)
     u = jnp.linspace(0.0, 1.0, sn)
     t_star = t0
+    if cfg.refine_interp_n > 0:
+        ft = make_fine_table(traj, cfg.refine_interp_n)
+        sample = lambda tc: _sdf_points_times_interp(shape, ft, total,
+                                                     points, tc)
+    else:
+        sample = lambda tc: _sdf_points_times(shape, traj, points, tc)
     for _ in range(max(1, cfg.refine_rounds)):
         t_cand = lo[:, None] + (hi - lo)[:, None] * u[None]   # (M, S)
-        f = _sdf_points_times(shape, traj, points, t_cand)
+        f = sample(t_cand)
         j = jnp.argmin(f, axis=1)
         fj = jnp.min(f, axis=1)
         tj = jnp.take_along_axis(t_cand, j[:, None], 1)[:, 0]
@@ -290,22 +347,20 @@ def _gsip_inside(shape, traj, p, t_star0, cfg: SVSDFConfig,
     vel = _pick_gsip_velocity(traj, t_star0)
     theta_init = jnp.arctan2(vel[0], -vel[1])  # sw_manager.hpp:79
 
-    # Unrolled with per-iteration STATIC sample counts from the
-    # theta-resolution schedule (2, 6, 18, 21, ... samples) — the
-    # padded fori_loop version computed gsip_max_samples boundary
-    # evals every iteration and masked most of them away.
     carry = (jnp.asarray(cfg.gsip_r0, dtype=t_star0.dtype),
              theta_init, theta_init, t_star0,
              jnp.asarray(False))
-    for k in range(cfg.gsip_iters):
+
+    def gsip_iter(carry, theta_res, n_samp, count_mask=None):
+        """One expanding-disk iteration over n_samp (static) polar
+        samples; count_mask masks padded samples (fori path)."""
         r, theta0, theta_star, t_star, done = carry
-        theta_res = _GSIP_THETA_RES[k]
-        count = min(int(math.ceil(2.0 * PI / theta_res)),
-                    cfg.gsip_max_samples)
-        thetas = theta0 + theta_res * jnp.arange(count)
+        thetas = theta0 + theta_res * jnp.arange(n_samp)
         ys = p + r * jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], -1)
         g, ts = tstar_search_batch(shape, traj, ys, inner_cfg,
                                    table=table)
+        if count_mask is not None:
+            g = jnp.where(count_mask, g, -jnp.inf)
         jstar = jnp.argmax(g)
         max_g = g[jstar]
         new_r = r - max_g
@@ -313,11 +368,35 @@ def _gsip_inside(shape, traj, p, t_star0, cfg: SVSDFConfig,
         new_t_star = ts[jstar]
         new_done = done | (jnp.abs(max_g) < cfg.gsip_tol)
         # expandSet: next iteration re-centers thetas on theta_star
-        carry = (jnp.where(done, r, new_r),
-                 jnp.where(done, theta0, new_theta_star),
-                 jnp.where(done, theta_star, new_theta_star),
-                 jnp.where(done, t_star, new_t_star),
-                 new_done)
+        return (jnp.where(done, r, new_r),
+                jnp.where(done, theta0, new_theta_star),
+                jnp.where(done, theta_star, new_theta_star),
+                jnp.where(done, t_star, new_t_star),
+                new_done)
+
+    if cfg.gsip_fori:
+        # single loop body, padded sample count (compile-size path)
+        res_table = jnp.asarray(_GSIP_THETA_RES[:cfg.gsip_iters],
+                                dtype=t_star0.dtype)
+        counts = jnp.asarray(
+            [min(int(math.ceil(2.0 * PI / _GSIP_THETA_RES[k])),
+                 cfg.gsip_max_samples) for k in range(cfg.gsip_iters)])
+
+        def body(k, c):
+            mask = jnp.arange(cfg.gsip_max_samples) < counts[k]
+            return gsip_iter(c, res_table[k], cfg.gsip_max_samples,
+                             count_mask=mask)
+
+        carry = jax.lax.fori_loop(0, cfg.gsip_iters, body, carry)
+    else:
+        # Unrolled with per-iteration STATIC sample counts from the
+        # theta-resolution schedule (2, 6, 18, 21, ... samples) — no
+        # masked/wasted boundary evals (throughput path).
+        for k in range(cfg.gsip_iters):
+            theta_res = _GSIP_THETA_RES[k]
+            count = min(int(math.ceil(2.0 * PI / theta_res)),
+                        cfg.gsip_max_samples)
+            carry = gsip_iter(carry, theta_res, count)
     r_star, _, theta_star, t_star, _ = carry
 
     corner = p + r_star * jnp.stack([jnp.cos(theta_star),

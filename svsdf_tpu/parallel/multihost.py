@@ -43,8 +43,11 @@ def initialize(coordinator_address: str | None = None,
     Returns True iff a multi-process runtime is (now) active. Safe to
     call twice — an already-initialized runtime is left alone.
     """
-    if jax.process_count() > 1:
-        return True
+    # NB: the idempotence guard must NOT call jax.process_count() —
+    # that initializes the backend, after which distributed.initialize
+    # refuses to run (found by tests/test_multihost_spawn.py).
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
 
     env = os.environ
     coordinator_address = (coordinator_address
@@ -56,14 +59,10 @@ def initialize(coordinator_address: str | None = None,
 
     if coordinator_address is None and num_processes is None:
         return False  # single-process session
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-    except RuntimeError:
-        # already initialized (idempotence) — nothing to do
-        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
     return jax.process_count() > 1
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -126,43 +127,85 @@ class BackEndResult(NamedTuple):
     converged: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
-def _run(shape, x0, problem, cfg, svs_cfg, n: int, max_iters: int,
-         mu_schedule: tuple, solver: str = "lbfgs",
-         weight_p=None, safety_hor=None):
+#: static upper bound on the scheduled solve's while_loop (the actual
+#: budget is a TRACED argument; this only caps the loop statically).
+_MAX_ITER_BOUND = 1024
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def _run(shape, x0, problem, cfg, svs_cfg, n: int, solver: str,
+         mu_values, stage_bounds, total_iters, weight_p, safety_hor):
     """Smoothing-continuation solve: the hinge smoothing mu anneals
     from wide to the reference's 0.01. The wide stages give the
     nonsmooth landscape a broad basin (the role LMBM's bundle plays in
     the reference) before the final sharp stage polishes.
 
+    The whole continuation runs INSIDE one lbfgs.minimize_scheduled
+    loop with mu selected per iteration from the TRACED `mu_values` /
+    `stage_bounds` arrays: the compiled program holds ONE copy of the
+    SVSDF cost graph (an unrolled per-stage loop weighed ~58 MB of
+    TPU executable and took minutes to load per process), and every
+    re-solve — certify-refine escalations, different budgets, different
+    schedules of the same length — reuses the same executable.
+
     solver: "lbfgs" (default; weak-Wolfe nonsmooth L-BFGS) or "lmbm"
     (utils/lmbm.py, the reference's actual bundle method)."""
+    del solver  # lbfgs only; LMBM goes through _run_lmbm
+
+    def cost(x, it):
+        stage = jnp.sum(it >= stage_bounds)
+        mu = mu_values[stage]
+        tau = x[:n]
+        wps = x[n:].reshape(n - 1, 3)
+        times = forward_t(tau)
+        traj = minco.solve(times, problem.head, problem.tail, wps)
+        c = minco.energy(traj)
+        pen, _ = svsdf_penalty(shape, traj, problem.obstacles, cfg,
+                               svs_cfg, mu=mu, weight_p=weight_p,
+                               safety_hor=safety_hor)
+        return c + pen + cfg.rho * jnp.sum(times)
+
+    params = lbfgs.LBFGSParams(
+        mem_size=cfg.mem_size, max_iterations=_MAX_ITER_BOUND,
+        g_epsilon=max(cfg.g_epsilon, 1e-7), past=3,
+        delta=cfg.relCostTol)
+    vg = jax.value_and_grad(cost, argnums=0)
+    res = lbfgs.minimize_scheduled(lambda x, it: vg(x, it), x0, params,
+                                   n_iters=total_iters,
+                                   stage_bounds=stage_bounds)
+    x = res.x
+    times = forward_t(x[:n])
+    wps = x[n:].reshape(n - 1, 3)
+    traj = minco.solve(times, problem.head, problem.tail, wps)
+    return BackEndResult(traj, x, res.f, res.n_iters, res.converged)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+def _run_lmbm(shape, x0, problem, cfg, svs_cfg, n: int, max_iters: int,
+              mu_schedule: tuple, weight_p=None, safety_hor=None):
+    """Per-stage LMBM continuation (the reference's actual solver;
+    back_end_optimizer.cpp:30). Kept as the static-schedule path: the
+    bundle aggregation state is not schedule-aware, so each stage
+    restarts the bundle."""
     x = x0
-    total_iters = jnp.asarray(0)
+    iters_done = jnp.asarray(0)
     res = None
     for i, mu in enumerate(mu_schedule):
         cost = make_cost_fn(shape, problem, cfg, svs_cfg, n, mu=mu,
                             weight_p=weight_p, safety_hor=safety_hor)
         iters = max_iters if i == len(mu_schedule) - 1 else max(
             max_iters // 2, 40)
-        if solver == "lmbm":
-            res = lmbm.minimize(
-                jax.value_and_grad(cost), x,
-                lmbm.LMBMParams(mem_size=cfg.mem_size,
-                                max_iterations=iters,
-                                delta=cfg.relCostTol))
-        else:
-            params = lbfgs.LBFGSParams(
-                mem_size=cfg.mem_size, max_iterations=iters,
-                g_epsilon=max(cfg.g_epsilon, 1e-7), past=3,
-                delta=cfg.relCostTol)
-            res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
+        res = lmbm.minimize(
+            jax.value_and_grad(cost), x,
+            lmbm.LMBMParams(mem_size=cfg.mem_size,
+                            max_iterations=iters,
+                            delta=cfg.relCostTol))
         x = res.x
-        total_iters = total_iters + res.n_iters
+        iters_done = iters_done + res.n_iters
     times = forward_t(x[:n])
     wps = x[n:].reshape(n - 1, 3)
     traj = minco.solve(times, problem.head, problem.tail, wps)
-    return BackEndResult(traj, x, res.f, total_iters, res.converged)
+    return BackEndResult(traj, x, res.f, iters_done, res.converged)
 
 
 def optimize(shape: Shape2D, head, tail, obstacles, opt_x,
@@ -191,5 +234,24 @@ def optimize(shape: Shape2D, head, tail, obstacles, opt_x,
                      jnp.float32)
     sh = jnp.asarray(cfg.safety_hor if safety_hor is None
                      else safety_hor, jnp.float32)
-    return _run(shape, opt_x, problem, cfg, svs_cfg, n, max_iters,
-                tuple(mu_schedule), solver, wp, sh)
+    if solver == "lmbm":
+        return _run_lmbm(shape, opt_x, problem, cfg, svs_cfg, n,
+                         max_iters, tuple(mu_schedule), wp, sh)
+    # build the TRACED continuation schedule, padded to a fixed number
+    # of stages so every schedule of any length shares one executable:
+    # stage i in [bounds[i-1], bounds[i]); the last stage gets
+    # max_iters, earlier ones max(max_iters // 2, 40) (the round-1
+    # static-schedule budgets, preserved exactly).
+    n_stage_slots = 3
+    mus = list(mu_schedule)[:n_stage_slots]
+    early = max(max_iters // 2, 40)
+    iters = [early] * (len(mus) - 1) + [max_iters]
+    while len(mus) < n_stage_slots:       # pad with zero-length stages
+        mus.append(mus[-1])
+        iters.append(0)
+    bounds = np.cumsum(iters[:-1])
+    total = int(np.sum(iters))
+    return _run(shape, opt_x, problem, cfg, svs_cfg, n, "lbfgs",
+                jnp.asarray(mus, jnp.float32),
+                jnp.asarray(bounds, jnp.int32),
+                jnp.asarray(total, jnp.int32), wp, sh)

@@ -8,16 +8,20 @@ generatePath (:96) / generateTraj (:128) on each (start, goal) request.
 
 from __future__ import annotations
 
+import functools
 import math
+import time
 from typing import NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from svsdf_tpu.models import shapes
 from svsdf_tpu.ops import kernels as kops
-from svsdf_tpu.ops.svsdf import DEFAULT_CONFIG, SVSDFConfig
+from svsdf_tpu.ops.svsdf import DEFAULT_CONFIG, SVSDFConfig, svsdf_query
 from svsdf_tpu.planner import astar, back_end, mid_end
+from svsdf_tpu.utils import cache
 from svsdf_tpu.utils import trajectory as trj
 from svsdf_tpu.utils.config import PlannerConfig
 from svsdf_tpu.utils.gridmap import GridMap
@@ -38,6 +42,10 @@ class PlanResult(NamedTuple):
     #: unexamined (e.g. failed) plan is not certified.
     certified: bool = False
     min_cert_sdf: float = float("nan")
+    #: per-stage wall-clock breakdown of the WINNING attempt (front_s,
+    #: mid_s, back_s, certify_s, refine_rounds, n_obstacles) plus
+    #: plan-level counters added by plan() (attempts).
+    timings: Optional[dict] = None
 
 
 class Planner:
@@ -47,9 +55,14 @@ class Planner:
                  svs_cfg: SVSDFConfig = DEFAULT_CONFIG,
                  use_transition_check: bool = True,
                  conservative_yaw_substeps: int = 1,
-                 fine_yaw_factor: int = 2):
+                 fine_yaw_factor: int = 2,
+                 solver: str = "lbfgs"):
+        cache.enable_persistent_compilation_cache()
         self.config = config
         self.svs_cfg = svs_cfg
+        #: back-end nonsmooth solver: "lbfgs" (weak-Wolfe L-BFGS) or
+        #: "lmbm" (the reference's bundle method, utils/lmbm.py)
+        self.solver = solver
         #: last-resort retry rung: rebuild the planner with
         #: kernel_yaw_num * factor for factor in (fine_yaw_factor,
         #: fine_yaw_factor**2) when every attempt of the standard
@@ -73,10 +86,15 @@ class Planner:
         # device precompute: yaw-bin + transition feasibility for the map
         safemargin = max(config.front_end_safeh,
                          config.occupancy_resolution / 2.0)
-        self._kernels = kops.rasterize_shape_kernels(
-            self.shape, config.kernel_size, config.kernel_yaw_num,
-            config.occupancy_resolution, safemargin,
-            yaw_substeps=conservative_yaw_substeps)
+        self._shape_key = cache.shape_cache_key(self.shape)
+        self._kernels = jnp.asarray(self._memo(
+            f"kern:{config.kernel_size}:{config.kernel_yaw_num}:"
+            f"{config.occupancy_resolution}:{safemargin}:"
+            f"{conservative_yaw_substeps}",
+            lambda: kops.rasterize_shape_kernels(
+                self.shape, config.kernel_size, config.kernel_yaw_num,
+                config.occupancy_resolution, safemargin,
+                yaw_substeps=conservative_yaw_substeps)))
         occ2d = jnp.asarray(self.grid.occ2d)
         self.feas = np.asarray(kops.feasibility_maps(occ2d, self._kernels))
         self._occ2d_dev = occ2d
@@ -99,13 +117,28 @@ class Planner:
         #: (plan_manager.cpp:57-59)
         self.bd = config.kernel_size * config.occupancy_resolution
 
+    # -- precompute memoization ---------------------------------------------
+
+    def _memo(self, key: str, fn):
+        """Disk-memoize a one-shot device precompute keyed on the shape
+        identity + `key` (utils/cache.py). Shapes without a stable
+        cross-process identity (time-varying scale callables) compute
+        in-process only."""
+        if self._shape_key is None:
+            return np.asarray(fn())
+        return cache.memoize_npz(f"{self._shape_key}|{key}", fn)
+
     # -- front end ---------------------------------------------------------
 
     def _stencils(self, guard):
         if guard not in self._trans_feas_cache:
-            self._trans_feas_cache[guard] = kops.transition_stencils(
-                self.shape, self.config.kernel_yaw_num,
-                self.config.occupancy_resolution, guard_half_world=guard)
+            self._trans_feas_cache[guard] = jnp.asarray(self._memo(
+                f"trans:{self.config.kernel_yaw_num}:"
+                f"{self.config.occupancy_resolution}:{guard}",
+                lambda: kops.transition_stencils(
+                    self.shape, self.config.kernel_yaw_num,
+                    self.config.occupancy_resolution,
+                    guard_half_world=guard)))
         return self._trans_feas_cache[guard]
 
     def _trans_feas(self, guard, occ2d_dev=None):
@@ -128,9 +161,13 @@ class Planner:
             cfg = self.config
             safemargin = max(cfg.front_end_safeh,
                              cfg.occupancy_resolution / 2.0)
-            self._cons_kernels = kops.rasterize_shape_kernels(
-                self.shape, cfg.kernel_size, cfg.kernel_yaw_num,
-                cfg.occupancy_resolution, safemargin, yaw_substeps=5)
+            self._cons_kernels = jnp.asarray(self._memo(
+                f"kern:{cfg.kernel_size}:{cfg.kernel_yaw_num}:"
+                f"{cfg.occupancy_resolution}:{safemargin}:5",
+                lambda: kops.rasterize_shape_kernels(
+                    self.shape, cfg.kernel_size, cfg.kernel_yaw_num,
+                    cfg.occupancy_resolution, safemargin,
+                    yaw_substeps=5)))
         if occ2d_dev is None:
             if getattr(self, "_cons_feas_cache", None) is None:
                 self._cons_feas_cache = np.asarray(kops.feasibility_maps(
@@ -184,7 +221,18 @@ class Planner:
 
     # -- collision certificate + active-set refinement ---------------------
 
-    def certify(self, traj: trj.Trajectory, chunk: int = 4096):
+    @property
+    def _occ_pts(self) -> np.ndarray:
+        """World xy centers of every occupied z=0 voxel (cached)."""
+        if getattr(self, "_occ_pts_cache", None) is None:
+            ii, jj = np.nonzero(self.grid.occ2d)
+            self._occ_pts_cache = np.stack([
+                self.grid.xyz_min[0] + (ii + 0.5) * self.grid.resolution,
+                self.grid.xyz_min[1] + (jj + 0.5) * self.grid.resolution,
+            ], axis=-1) if len(ii) else np.zeros((0, 2))
+        return self._occ_pts_cache
+
+    def certify(self, traj: trj.Trajectory, chunk: int = 0):
         """Map-wide swept-volume collision certificate: SVSDF of every
         occupied 2-D voxel center within the trajectory's bounding box
         (inflated by the kernel half-extent + safety horizon).
@@ -192,16 +240,18 @@ class Planner:
         Returns (points (M, 2), sdf (M,)) — min(sdf) > 0 certifies the
         trajectory collision-free against the whole map, a stronger
         check than the reference ever runs (it only penalizes the
-        AABB-harvested subset, plan_manager.cpp:156-175)."""
-        from svsdf_tpu.ops.svsdf import svsdf_query
-        occ = self.grid.occ2d
-        ii, jj = np.nonzero(occ)
-        if len(ii) == 0:
+        AABB-harvested subset, plan_manager.cpp:156-175).
+
+        The query runs as ONE jitted dispatch on points padded to a
+        power-of-two bucket: a ragged eager chunk loop here cost
+        minutes per plan over the remote-TPU tunnel (one dispatch per
+        jnp op x thousands of points); bucketing means each (pieces,
+        bucket) pair compiles once — and only once ever, with the
+        persistent compilation cache."""
+        del chunk  # legacy knob: bucketing subsumes chunking
+        pts = self._occ_pts
+        if len(pts) == 0:
             return np.zeros((0, 2)), np.zeros((0,))
-        pts = np.stack([
-            self.grid.xyz_min[0] + (ii + 0.5) * self.grid.resolution,
-            self.grid.xyz_min[1] + (jj + 0.5) * self.grid.resolution,
-        ], axis=-1)
         # restrict to the trajectory's reachable band
         ts = np.linspace(0.0, float(traj.total_duration), 64)
         xy = np.asarray(trj.pos(traj, jnp.asarray(ts)))[:, :2]
@@ -209,23 +259,31 @@ class Planner:
         lo, hi = xy.min(0) - margin, xy.max(0) + margin
         keep = np.all((pts >= lo) & (pts <= hi), axis=1)
         pts = pts[keep]
-        if len(pts) == 0:
+        m = len(pts)
+        if m == 0:
             return np.zeros((0, 2)), np.zeros((0,))
-        sdfs = []
-        for s in range(0, len(pts), chunk):
-            q = svsdf_query(self.shape, traj,
-                            jnp.asarray(pts[s:s + chunk], jnp.float32),
-                            self.svs_cfg, with_inside=False)
-            sdfs.append(np.asarray(q.sdf))
-        return pts, np.concatenate(sdfs)
+        bucket = max(512, 1 << (m - 1).bit_length())
+        pad = np.full((bucket - m, 2), 1.0e4)
+        padded = jnp.asarray(np.concatenate([pts, pad]), jnp.float32)
+        sdf = _certify_sdf(self.shape, traj.coeffs, traj.durations,
+                           padded, self.svs_cfg)
+        return pts, np.asarray(sdf)[:m]
 
-    @staticmethod
-    def _pad_obstacles(obs: np.ndarray, bucket: int = 256) -> np.ndarray:
+    def _pad_obstacles(self, obs: np.ndarray, bucket: int = 256,
+                       headroom: int = 0) -> np.ndarray:
         """Pad the obstacle set to the next bucket multiple with
         far-away dummy points (zero penalty) so the jitted back-end
-        solve recompiles only on bucket changes, not every M."""
+        solve recompiles only on bucket changes, not every M.
+
+        `headroom` pre-sizes for expected growth (the certify-refine
+        rounds add up to max_active_add points per round); the chosen
+        size is also kept as a monotone per-planner floor so every
+        re-solve in a plan reuses ONE compiled back-end executable
+        instead of recompiling each time the active set grows."""
         m = len(obs)
-        target = ((m + bucket - 1) // bucket) * bucket
+        target = ((m + headroom + bucket - 1) // bucket) * bucket
+        target = max(target, getattr(self, "_obs_bucket_floor", 0))
+        self._obs_bucket_floor = target
         if target == m:
             return obs
         pad = np.tile(np.asarray([[1e4, 1e4, 0.0]]), (target - m, 1))
@@ -295,6 +353,7 @@ class Planner:
                                 # densified spacing optimize poorly)
                                 parlength if conservative else pl,
                                 conservative=conservative)
+            n_attempts_run = attempt + 1
             if not res.success:
                 # a failed front end must not gate the LATER rungs:
                 # the homotopy-block retry can kill A* (no alternative
@@ -318,7 +377,7 @@ class Planner:
                         break
                 continue
             if res.certified or math.isnan(res.min_cert_sdf):
-                return res
+                return _stamp_attempts(res, n_attempts_run)
             if best is None or res.min_cert_sdf > best.min_cert_sdf:
                 best = res
             if attempt == n_attempts - 1:
@@ -380,7 +439,8 @@ class Planner:
                             and not (res.min_cert_sdf
                                      <= best.min_cert_sdf))):
                     best = res
-        return best
+        return _stamp_attempts(best, attempt + 1) if best is not None \
+            else best
 
     def _get_fine_planner(self, factor: int) -> "Planner":
         """Lazily build (and cache) the fine-yaw retry planner: same
@@ -396,7 +456,7 @@ class Planner:
                 cfg, self._map_points, svs_cfg=self.svs_cfg,
                 use_transition_check=self.guard_ladder != [None],
                 conservative_yaw_substeps=self._yaw_substeps,
-                fine_yaw_factor=0)
+                fine_yaw_factor=0, solver=self.solver)
         return self._fine_planners[factor]
 
     def _attempt(self, start, goal, occ2d_dev, mid_iters, back_iters,
@@ -404,13 +464,17 @@ class Planner:
                  parlength: float = 3.0,
                  conservative: bool = False) -> PlanResult:
         self._last_cert = None
+        tm = {"front_s": 0.0, "mid_s": 0.0, "back_s": 0.0,
+              "certify_s": 0.0, "refine_rounds": 0}
+        t0 = time.time()
         front = self.generate_path(np.asarray(start), np.asarray(goal),
                                    occ2d_dev=occ2d_dev,
                                    conservative=conservative)
+        tm["front_s"] = round(time.time() - t0, 2)
         empty = np.zeros((0, 3))
         if not front.success:
             return PlanResult(False, None, None, front.path, empty,
-                              float("nan"), float("nan"))
+                              float("nan"), float("nan"), timings=tm)
         path = front.path
         q = self._subsample(path, parlength)
         if len(q) == 0:
@@ -426,14 +490,19 @@ class Planner:
         times = np.full(n, self.config.inittime)
         ref_rots = np.stack([_rotz(w[2]) for w in q])
 
+        t0 = time.time()
         mid = mid_end.optimize(head, tail, q, times, ref_rots,
                                self.config, max_iters=mid_iters)
+        jax.block_until_ready(mid.opt_x)
+        tm["mid_s"] = round(time.time() - t0, 2)
 
         if len(obstacles) == 0:
             # nothing harvested near the corridor: certify the mid-end
             # trajectory map-wide; on violation fall through to the
             # back end with the violators as the obstacle set
+            t0 = time.time()
             pts, sdf = self.certify(mid.traj)
+            tm["certify_s"] += round(time.time() - t0, 2)
             self._last_cert = (pts, sdf)
             if len(pts) == 0 or not np.any(sdf < 0.5 *
                                            self.config.safety_hor):
@@ -441,15 +510,18 @@ class Planner:
                 return PlanResult(True, mid.traj, mid.traj, path,
                                   obstacles, float(mid.cost),
                                   float(mid.cost), certified=True,
-                                  min_cert_sdf=m)
+                                  min_cert_sdf=m, timings=tm)
             bad = sdf < 0.5 * self.config.safety_hor
             obstacles = np.concatenate(
                 [pts[bad], np.zeros((int(bad.sum()), 1))], axis=1)
 
-        obstacles = self._pad_obstacles(obstacles)
+        obstacles = self._pad_obstacles(obstacles, headroom=max_active_add)
+        t0 = time.time()
         back = back_end.optimize(self.shape, head, tail, obstacles,
                                  mid.opt_x, self.config, self.svs_cfg,
-                                 max_iters=back_iters)
+                                 max_iters=back_iters, solver=self.solver)
+        jax.block_until_ready(back.opt_x)
+        tm["back_s"] = round(time.time() - t0, 2)
 
         # Certify-and-refine (active-set expansion): the reference only
         # ever penalizes the AABB-harvested subset, so trajectories can
@@ -465,7 +537,9 @@ class Planner:
         budget = certify_rounds
         round_ = 0
         while True:
+            t0 = time.time()
             pts, sdf = self.certify(back.traj)
+            tm["certify_s"] += round(time.time() - t0, 2)
             self._last_cert = (pts, sdf)   # reused by plan()'s retry
             if BUS.stop_requested and round_ > 0:
                 min_sdf = float(sdf.min()) if len(sdf) else float("inf")
@@ -518,17 +592,23 @@ class Planner:
                 warm_x = self._nudge_waypoints(
                     np.asarray(warm_x), back.traj,
                     pts[int(np.argmin(sdf))], -min_sdf + 0.1, n)
+            t0 = time.time()
             back = back_end.optimize(self.shape, head, tail, obstacles,
                                      warm_x, cfg, self.svs_cfg,
                                      weight_p=weight_p,
                                      safety_hor=safety_hor,
                                      max_iters=back_iters,
-                                     mu_schedule=(0.1, 0.01))
+                                     mu_schedule=(0.1, 0.01),
+                                     solver=self.solver)
+            jax.block_until_ready(back.opt_x)
+            tm["back_s"] += round(time.time() - t0, 2)
             round_ += 1
+        tm["refine_rounds"] = round_
+        tm["n_obstacles"] = int(len(obstacles))
         return PlanResult(True, back.traj, mid.traj, path, obstacles,
                           float(mid.cost), float(back.cost),
                           certified=(min_sdf > 0.0),
-                          min_cert_sdf=min_sdf)
+                          min_cert_sdf=min_sdf, timings=tm)
 
     def _nudge_waypoints(self, x: np.ndarray, traj, worst_pt,
                          push: float, n: int) -> np.ndarray:
@@ -554,6 +634,18 @@ class Planner:
         wps[:, 0] += delta[0] * w
         wps[:, 1] += delta[1] * w
         return x
+
+
+def _stamp_attempts(res: PlanResult, n: int) -> PlanResult:
+    return res._replace(timings={**(res.timings or {}), "attempts": n})
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _certify_sdf(shape, coeffs, durations, pts, svs_cfg):
+    """One-dispatch certify query (jit cache key: shape, cfg, piece
+    count, point bucket)."""
+    traj = trj.Trajectory(coeffs, durations)
+    return svsdf_query(shape, traj, pts, svs_cfg, with_inside=False).sdf
 
 
 def _rotz(yaw: float) -> np.ndarray:

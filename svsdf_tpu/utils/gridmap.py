@@ -108,21 +108,23 @@ class GridMap:
         box center — z spans [yaw-half, yaw+half]; we reproduce that.
         Returns (M, 3) unique voxel centers.
         """
-        seen = {}
-        X, Y, Z = self.size
-        for c in centers:
-            c = np.asarray(c, dtype=np.float64)
-            lo = self.grid_index(np.clip(c - half, self.xyz_min, None))
-            hi_w = self.xyz_min + np.asarray(self.size) * self.resolution
-            hi = self.grid_index(np.minimum(c + half, hi_w))
-            sub = self.occ[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1,
-                           lo[2]:hi[2] + 1]
-            ii, jj, kk = np.nonzero(sub)
-            for a, b, d in zip(ii + lo[0], jj + lo[1], kk + lo[2]):
-                seen[(int(a), int(b), int(d))] = True
-        if not seen:
+        centers = np.atleast_2d(np.asarray(centers, dtype=np.float64))
+        if not len(centers):
             return np.zeros((0, 3))
-        idx = np.asarray(list(seen.keys()))
+        hi_w = self.xyz_min + np.asarray(self.size) * self.resolution
+        los = np.stack([self.grid_index(np.clip(c - half, self.xyz_min,
+                                                None)) for c in centers])
+        his = np.stack([self.grid_index(np.minimum(c + half, hi_w))
+                        for c in centers])
+        # paint the union of the boxes into a mask (vectorized per box;
+        # dedup falls out of the mask), then one nonzero pass — replaces
+        # the per-voxel dict loop that went quadratic on dense maps
+        mask = np.zeros(self.size, dtype=bool)
+        for lo, hi in zip(los, his):
+            mask[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1] = True
+        idx = np.argwhere(mask & (self.occ != 0))
+        if not len(idx):
+            return np.zeros((0, 3))
         return self.cube_center(idx)
 
     # -- ESDF convenience (GridMap3D::generateESDF3d + getSDFValue /

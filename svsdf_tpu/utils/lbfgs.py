@@ -140,12 +140,42 @@ def _parallel_line_search(fun, x, f0, g0, d, p: LBFGSParams, t0):
 def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
              ) -> LBFGSResult:
     """Minimize fun: x -> (f, g). Jittable; vmap for batches."""
+    return minimize_scheduled(lambda x, it: fun(x), x0, params)
+
+
+def minimize_scheduled(fun: Callable, x0,
+                       params: LBFGSParams = LBFGSParams(),
+                       n_iters=None, stage_bounds=None) -> LBFGSResult:
+    """Minimize fun: (x, it) -> (f, g), where `it` is the (traced)
+    outer iteration counter — the hook for continuation schedules
+    (e.g. the back end's hinge-smoothing mu ladder) to live INSIDE one
+    optimizer loop instead of unrolling one L-BFGS program per stage.
+    The compiled program then contains ONE copy of the cost graph;
+    the unrolled 3-stage back-end solve weighed ~58 MB of executable,
+    which the remote-TPU backend took minutes to (re)load per process.
+
+    n_iters: optional TRACED iteration budget (<= params.max_iterations,
+    which remains the static loop bound) — lets callers with different
+    budgets share one executable.
+
+    stage_bounds: optional (S,) traced iteration indices where the
+    objective changes. When the solver converges before the last
+    bound, it JUMPS to the next bound (entering the next continuation
+    stage) instead of exiting, and clears the stall/null-step state —
+    reproducing the per-stage restart semantics of a staged solve.
+    Curvature pairs carry across stages (cautious updates reject any
+    that disagree with the new landscape).
+    """
     p = params
     n = x0.shape[-1]
     m = p.mem_size
     dtype = x0.dtype
+    total = (jnp.asarray(p.max_iterations) if n_iters is None
+             else jnp.asarray(n_iters))
+    bounds = (None if stage_bounds is None
+              else jnp.asarray(stage_bounds))
 
-    f0, g0 = fun(x0)
+    f0, g0 = fun(x0, jnp.asarray(0))
 
     class Carry(NamedTuple):
         x: jnp.ndarray
@@ -198,6 +228,7 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
         return r_
 
     def step(c: Carry) -> Carry:
+        fun_it = lambda x: fun(x, c.it)
         d = -two_loop(c.ga, c.s_hist, c.y_hist, c.rho, c.n_corr, c.head)
         # safeguard: ensure descent direction; else steepest descent
         dg = jnp.vdot(d, c.ga)
@@ -211,7 +242,7 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
         search = (_parallel_line_search if p.ls_candidates > 0
                   else _weak_wolfe_search)
         t, x_new, f_new, g_new, ok, x_trial, g_trial = search(
-            fun, c.x, c.f, c.ga, d, p, t0=t0)
+            fun_it, c.x, c.f, c.ga, d, p, t0=t0)
 
         s = x_new - c.x
         y = g_new - c.g
@@ -250,13 +281,28 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
         rel_dec = (fpast - f_new) / jnp.maximum(jnp.abs(f_new), 1e-30)
         stalled = ok & (c.it >= p.past) & (rel_dec < p.delta)
         converged = small_grad | stalled
-        done = converged | (nulls >= p.max_nulls)
+        exhausted = nulls >= p.max_nulls
+        finished = converged | exhausted
 
         past_f = c.past_f.at[c.it % p.past].set(f_new)
         # on a null step x is unchanged — keep the true gradient at x
         g_at_x = jnp.where(ok, g_new, c.g)
+        it_next = c.it + 1
+        done = finished
+        if bounds is not None:
+            # continuation: finished a stage early -> jump to the next
+            # stage boundary (the objective changes there) and clear
+            # the stall/null state; only finishing the LAST stage ends
+            # the solve.
+            nb = jnp.min(jnp.where(bounds > c.it, bounds, total))
+            jump = finished & (nb < total)
+            it_next = jnp.where(jump, nb, it_next)
+            nulls = jnp.where(jump, 0, nulls)
+            past_f = jnp.where(jump, jnp.full_like(past_f, jnp.inf),
+                               past_f)
+            done = finished & ~jump
         return Carry(x_new, f_new, g_at_x, ga, s_hist, y_hist, rho,
-                     n_corr, head, past_f, nulls, c.it + 1, done,
+                     n_corr, head, past_f, nulls, it_next, done,
                      converged)
 
     init = Carry(
@@ -270,7 +316,7 @@ def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
         converged=jnp.max(jnp.abs(g0)) < p.g_epsilon)
 
     def cond(c: Carry):
-        return (~c.done) & (c.it < p.max_iterations)
+        return (~c.done) & (c.it < total) & (c.it < p.max_iterations)
 
     out = jax.lax.while_loop(cond, step, init)
     return LBFGSResult(out.x, out.f, out.g, out.it, out.converged)

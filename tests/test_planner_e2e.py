@@ -159,9 +159,13 @@ def test_certify_and_pad():
     # the planned trajectory clears every occupied voxel on the map
     assert float(sdf.min()) > 0.0
     # obstacle padding: bucketed length, dummy points far away
-    padded = Planner._pad_obstacles(np.zeros((3, 3)), bucket=8)
+    pl._obs_bucket_floor = 0   # isolate from the plan() above
+    padded = pl._pad_obstacles(np.zeros((3, 3)), bucket=8)
     assert padded.shape == (8, 3)
     assert np.all(padded[3:, 0] > 1e3)
+    # monotone floor: a smaller later set still pads to the floor
+    padded2 = pl._pad_obstacles(np.zeros((1, 3)), bucket=8)
+    assert padded2.shape == (8, 3)
 
 
 def test_debug_bus_early_exit():

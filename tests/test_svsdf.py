@@ -166,3 +166,20 @@ def test_gsip_topk_matches_full():
     # outside points are untouched by the topk path
     np.testing.assert_allclose(np.asarray(part.sdf[3:]),
                                np.asarray(full.sdf[3:]), atol=1e-7)
+
+
+def test_interp_refinement_matches_exact():
+    """refine_interp_n: pose-interpolated refinement rounds agree with
+    the exact per-point polynomial pose eval to interp error (the
+    tables are dense enough that only the lerp differs)."""
+    import dataclasses
+
+    shape = shapes.make_shape("sdHeart")
+    traj = _wavy_traj()
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform([-3, -6], [11, 6], size=(128, 2)))
+    c0 = svsdf.SVSDFConfig(coarse_n=128, refine_rounds=2)
+    c1 = dataclasses.replace(c0, refine_interp_n=512)
+    s0, t0 = svsdf.tstar_search_batch(shape, traj, pts, c0)
+    s1, t1 = svsdf.tstar_search_batch(shape, traj, pts, c1)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=5e-4)
