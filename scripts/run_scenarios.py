@@ -45,6 +45,10 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
     t0 = time.time()
     if name.startswith("synthetic_"):
         sc = fixtures.synthetic_scenario(name.removeprefix("synthetic_"))
+    elif name.startswith("deformable_"):
+        sc = fixtures.deformable_scenario(name)
+    elif name.startswith("mesh_"):
+        sc = fixtures.mesh_scenario(name.removeprefix("mesh_"))
     else:
         sc = fixtures.load_scenario(name)
     svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
@@ -52,7 +56,7 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
                       refine_interp_n=512, gsip_fori=True)
     try:
         planner = Planner(sc.config, sc.map_points, svs_cfg=svs,
-                          solver=solver)
+                          solver=solver, shape=sc.shape)
         rec["build_s"] = round(time.time() - t0, 1)
         t0 = time.time()
         res = planner.plan(sc.start, sc.goal)
@@ -92,10 +96,45 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
             res2 = planner.plan(sc.start, sc.goal)
             rec["plan_warm_s"] = round(time.time() - t0, 1)
             rec["warm_certified"] = bool(res2.certified)
+        if name.startswith("mesh_"):
+            rec["swept_obj"] = export_swept_3d(name, sc, res)
     except Exception as e:                             # noqa: BLE001
         rec["success"] = False
         rec["error"] = f"{type(e).__name__}: {e}"
     return rec
+
+
+def export_swept_3d(name, sc, res) -> str:
+    """3-D swept-volume surface of a mesh-robot plan -> OBJ artifact
+    (the reference's sw_calculate + igl::marching_cubes path,
+    sw_calculate.cpp:5-222, done as a dense device sweep + marching
+    tetrahedra)."""
+    import numpy as _np
+    from svsdf_tpu.models.mesh_sdf import grid_sdf_3d, load_obj
+    from svsdf_tpu.utils import trajectory as trj
+    from svsdf_tpu.viz import swept_surface as sw3
+
+    ref = name.removeprefix("mesh_")
+    objpath = os.path.join(fixtures_root(), "src/plan_manager/shapes",
+                           f"{ref}.obj")
+    V, F = load_obj(objpath)
+    g3 = grid_sdf_3d(V, F, resolution=0.15, margin=1.0)
+    ts = _np.linspace(0, float(res.traj.total_duration), 64)
+    xy = _np.asarray(trj.pos(res.traj, ts))[:, :2]
+    r = float(_np.abs(V[:, :2]).max()) + 0.5
+    bounds = (xy[:, 0].min() - r, xy[:, 0].max() + r,
+              xy[:, 1].min() - r, xy[:, 1].max() + r,
+              float(V[:, 2].min()) - 0.3, float(V[:, 2].max()) + 0.3)
+    Vs, Fs = sw3.extract_swept_volume_3d(g3.sdf_xyz, res.traj, bounds,
+                                         eps=0.25, n_t=128)
+    out = f"swept_{name}.obj"
+    sw3.write_trimesh_obj(Vs, Fs, out)
+    return out
+
+
+def fixtures_root():
+    from svsdf_tpu.utils import fixtures
+    return fixtures.REFERENCE_ROOT
 
 
 def main():
@@ -122,9 +161,11 @@ def main():
     full_run = not args
     names = args or fixtures.list_scenarios()
     if "--extras" in flags:
-        # the 5 analytic shapes the reference ships no fixtures for
+        # the 5 analytic shapes the reference ships no fixtures for,
+        # plus the breathing-scale deformable demo
         names = names + ["synthetic_" + n
-                         for n in fixtures.list_synthetic_scenarios()]
+                         for n in fixtures.list_synthetic_scenarios()] \
+            + fixtures.list_deformable_scenarios()
     results_path = os.environ.get("SVSDF_RESULTS",
                                   "scenario_results.json")
     out = []
@@ -167,7 +208,8 @@ def prune_results(path: str, keep: set) -> None:
     except (OSError, ValueError):
         return
     rows = [r for r in rows
-            if r["name"] in keep or r["name"].startswith("synthetic_")]
+            if r["name"] in keep
+            or r["name"].startswith(("synthetic_", "deformable_"))]
     with open(path, "w") as f:
         json.dump(sorted(rows, key=lambda r: r["name"]), f, indent=1)
 

@@ -56,7 +56,8 @@ class Planner:
                  use_transition_check: bool = True,
                  conservative_yaw_substeps: int = 1,
                  fine_yaw_factor: int = 2,
-                 solver: str = "lbfgs"):
+                 solver: str = "lbfgs",
+                 shape: Optional[shapes.Shape2D] = None):
         cache.enable_persistent_compilation_cache()
         self.config = config
         self.svs_cfg = svs_cfg
@@ -79,8 +80,13 @@ class Planner:
         self._map_points = np.asarray(map_points)
         self._yaw_substeps = conservative_yaw_substeps
         self._fine_planners: dict = {}
-        self.shape = shapes.shape_from_objpath(config.inputdata,
-                                               config.poly_params)
+        #: explicit shape overrides config.inputdata (deformable robots
+        #: pass a ScaledShape whose scale schedule is a callable; its
+        #: time-free sdf_xy is the conservative max-scale footprint the
+        #: front-end kernels rasterize)
+        self.shape = shape if shape is not None else \
+            shapes.shape_from_objpath(config.inputdata,
+                                      config.poly_params)
         self.grid = GridMap.from_points(
             map_points, config.occupancy_resolution, config.sta_threshold)
         # device precompute: yaw-bin + transition feasibility for the map
@@ -456,7 +462,8 @@ class Planner:
                 cfg, self._map_points, svs_cfg=self.svs_cfg,
                 use_transition_check=self.guard_ladder != [None],
                 conservative_yaw_substeps=self._yaw_substeps,
-                fine_yaw_factor=0, solver=self.solver)
+                fine_yaw_factor=0, solver=self.solver,
+                shape=self.shape)
         return self._fine_planners[factor]
 
     def _attempt(self, start, goal, occ2d_dev, mid_iters, back_iters,

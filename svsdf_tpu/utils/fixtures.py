@@ -31,6 +31,10 @@ class Scenario:
     map_points: np.ndarray     # (N, 3)
     start: np.ndarray          # (3,) x, y, yaw
     goal: np.ndarray           # (3,)
+    #: prebuilt robot shape overriding config.inputdata (deformable
+    #: scenarios: the time-varying scale is a callable, not a config
+    #: string)
+    shape: object = None
 
 
 def list_scenarios(root: str = REFERENCE_ROOT):
@@ -120,3 +124,68 @@ def synthetic_scenario(name: str) -> Scenario:
     goal = np.asarray([43.5, mid + 0.5, 0.0])
     return Scenario(name=f"synthetic_{name}", config=cfg,
                     map_points=np.asarray(pts), start=start, goal=goal)
+
+
+def list_deformable_scenarios():
+    return ["deformable_star"]
+
+
+def deformable_scenario(name: str = "deformable_star") -> Scenario:
+    """Breathing-scale robot scenario — the paper's `useScale` demos
+    (sw_manager.hpp:495-518, shipped commented-out behind the
+    compile-time flag). A star robot with s(t) = 1 + 0.35 sin(0.9 t)
+    threads a gate sized for its MAXIMUM inflation: the front end
+    plans with conservative max-scale kernels (ScaledShape.sdf_xy
+    evaluates at kernel_scale), while the SVSDF certificate sees the
+    true time-varying sweep.
+    """
+    if name != "deformable_star":
+        raise KeyError(name)
+    import jax.numpy as jnp
+
+    from svsdf_tpu.models import shapes
+
+    scale_fn = lambda t: 1.0 + 0.35 * jnp.sin(0.9 * t)    # noqa: E731
+    shape = shapes.make_scaled_shape("star", scale_fn,
+                                     kernel_scale=1.35)
+    # gate map: max-scale star radius ~ 3.8 m -> half_gap 4.2 m keeps
+    # the conservative front end feasible while putting wall voxels
+    # inside the bd/3 harvest band, so the back-end SVSDF penalty and
+    # the certify-refine machinery are actually exercised
+    half_gap, height = 4.2, 28.0
+    mid = height / 2.0
+    pts = []
+    for x in (24.5, 25.5):
+        for y in np.arange(0.5, height, 1.0):
+            if abs(y - mid) > half_gap:
+                for z in (0.5, 1.5):
+                    pts.append((x, y, z))
+    pts += [(0.05, 0.05, 0.05), (49.9, height - 0.1, 1.9)]
+    cfg = PlannerConfig(inputdata="shapes/star.obj", kernel_size=13,
+                        kernel_yaw_num=12, occupancy_resolution=1.0,
+                        safety_hor=0.4, loadStartEnd=False)
+    return Scenario(name="deformable_star", config=cfg,
+                    map_points=np.asarray(pts),
+                    start=np.asarray([6.5, mid + 0.5, 0.0]),
+                    goal=np.asarray([43.5, mid + 0.5, 0.0]),
+                    shape=shape)
+
+
+def mesh_scenario(ref_name: str, root: str = REFERENCE_ROOT,
+                  resolution: float = 0.05) -> Scenario:
+    """Reference scenario planned with the robot loaded from the
+    reference's SHIPPED `.obj` mesh (src/plan_manager/shapes/) through
+    the mesh-SDF path (models/mesh_sdf.py) instead of the analytic
+    SDF — exercising the BasicShape igl-mesh route (Shape.hpp:284-340)
+    on the reference's own robot geometry."""
+    from svsdf_tpu.models.mesh_sdf import shape_from_mesh
+
+    sc = load_scenario(ref_name, root=root)
+    objpath = os.path.join(root, _PM, "shapes", f"{ref_name}.obj")
+    if not os.path.isfile(objpath):
+        raise FileNotFoundError(objpath)
+    shape = shape_from_mesh(objpath, resolution=resolution,
+                            poly_params=sc.config.poly_params)
+    sc.name = f"mesh_{ref_name}"
+    sc.shape = shape
+    return sc

@@ -293,7 +293,10 @@ def minimize_scheduled(fun: Callable, x0,
             # continuation: finished a stage early -> jump to the next
             # stage boundary (the objective changes there) and clear
             # the stall/null state; only finishing the LAST stage ends
-            # the solve.
+            # the solve. The objective is DIFFERENT past the bound, so
+            # f/gradient/aggregate must be re-evaluated there — a stale
+            # zero gradient from the finished stage would read as
+            # instant convergence of the next one.
             nb = jnp.min(jnp.where(bounds > c.it, bounds, total))
             jump = finished & (nb < total)
             it_next = jnp.where(jump, nb, it_next)
@@ -301,6 +304,12 @@ def minimize_scheduled(fun: Callable, x0,
             past_f = jnp.where(jump, jnp.full_like(past_f, jnp.inf),
                                past_f)
             done = finished & ~jump
+            f_j, g_j = jax.lax.cond(
+                jump, lambda: fun(x_new, nb),
+                lambda: (f_new, g_at_x))
+            f_new = jnp.where(jump, f_j, f_new)
+            g_at_x = jnp.where(jump, g_j, g_at_x)
+            ga = jnp.where(jump, g_j, ga)
         return Carry(x_new, f_new, g_at_x, ga, s_hist, y_hist, rho,
                      n_corr, head, past_f, nulls, it_next, done,
                      converged)

@@ -83,3 +83,35 @@ def test_jittable():
     run = jax.jit(lambda x0: lbfgs.minimize(_fun(f), x0).x)
     np.testing.assert_allclose(np.asarray(run(jnp.ones(4))),
                                np.zeros(4), atol=1e-6)
+
+
+def test_minimize_scheduled_stage_jumping():
+    """minimize_scheduled: the objective switches targets at the stage
+    bounds; early convergence in a stage must JUMP to the next stage
+    (not exit), and the final iterate must track the LAST stage's
+    target. Also: the traced n_iters budget is respected."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from svsdf_tpu.utils import lbfgs
+
+    targets = jnp.asarray([0.0, 3.0, -2.0])
+    bounds = jnp.asarray([20, 40])
+
+    def fun(x, it):
+        stage = jnp.sum(it >= bounds)
+        c = targets[stage]
+        f = jnp.sum((x - c) ** 2)
+        return f, 2.0 * (x - c)
+
+    p = lbfgs.LBFGSParams(mem_size=4, max_iterations=128,
+                          g_epsilon=1e-10, delta=0.0)
+    res = lbfgs.minimize_scheduled(fun, jnp.asarray([10.0, -7.0]), p,
+                                   n_iters=jnp.asarray(60),
+                                   stage_bounds=bounds)
+    np.testing.assert_allclose(np.asarray(res.x), [-2.0, -2.0],
+                               atol=1e-4)
+    # quadratic converges in ~2 iterations per stage; the jumps mean
+    # total iterations stay far below the 60 budget
+    assert int(res.n_iters) <= 60
