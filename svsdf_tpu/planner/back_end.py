@@ -132,9 +132,10 @@ class BackEndResult(NamedTuple):
 _MAX_ITER_BOUND = 1024
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 12))
 def _run(shape, x0, problem, cfg, svs_cfg, n: int, solver: str,
-         mu_values, stage_bounds, total_iters, weight_p, safety_hor):
+         mu_values, stage_bounds, total_iters, weight_p, safety_hor,
+         live: bool = False):
     """Smoothing-continuation solve: the hinge smoothing mu anneals
     from wide to the reference's 0.01. The wide stages give the
     nonsmooth landscape a broad basin (the role LMBM's bundle plays in
@@ -168,7 +169,7 @@ def _run(shape, x0, problem, cfg, svs_cfg, n: int, solver: str,
     params = lbfgs.LBFGSParams(
         mem_size=cfg.mem_size, max_iterations=_MAX_ITER_BOUND,
         g_epsilon=max(cfg.g_epsilon, 1e-7), past=3,
-        delta=cfg.relCostTol)
+        delta=cfg.relCostTol, live=live)
     vg = jax.value_and_grad(cost, argnums=0)
     res = lbfgs.minimize_scheduled(lambda x, it: vg(x, it), x0, params,
                                    n_iters=total_iters,
@@ -214,7 +215,8 @@ def optimize(shape: Shape2D, head, tail, obstacles, opt_x,
              max_iters: int = 200,
              mu_schedule: tuple = (0.5, 0.1, 0.01),
              solver: str = "lbfgs",
-             weight_p=None, safety_hor=None) -> BackEndResult:
+             weight_p=None, safety_hor=None,
+             live: bool = False) -> BackEndResult:
     """Run the back end from the mid end's warm-start decision vector
     (optimize_traj_lmbm, back_end_optimizer.cpp:3-96).
 
@@ -254,4 +256,4 @@ def optimize(shape: Shape2D, head, tail, obstacles, opt_x,
     return _run(shape, opt_x, problem, cfg, svs_cfg, n, "lbfgs",
                 jnp.asarray(mus, jnp.float32),
                 jnp.asarray(bounds, jnp.int32),
-                jnp.asarray(total, jnp.int32), wp, sh)
+                jnp.asarray(total, jnp.int32), wp, sh, live)

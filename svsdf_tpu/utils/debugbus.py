@@ -26,6 +26,8 @@ class DebugBus:
         self.timers: Dict[str, float] = defaultdict(float)
         self._t0 = time.time()
         self._stop = False
+        self._paused = False
+        self._steps = 0
 
     # -- command channel (the /debug_cmd code-21 early exit:
     # debugMsgcallback plan_manager.cpp:431-445 -> TrajOptimizer::exit
@@ -44,6 +46,40 @@ class DebugBus:
     @property
     def stop_requested(self) -> bool:
         return self._stop
+
+    # -- pause / single-step gate (the reference's `debugpause`
+    # step-through, back_end_optimizer.hpp:1093-1103). The live
+    # io_callback (utils/lbfgs.py LBFGSParams.live) calls
+    # wait_if_paused once per optimizer iteration: while paused, the
+    # DEVICE loop blocks inside the ordered callback; step() releases
+    # exactly one iteration; resume() releases the gate. ---------------
+    def pause(self):
+        self._paused = True
+        self.send("cmd", "paused")
+
+    def resume(self):
+        self._paused = False
+        self._steps = 0
+        self.send("cmd", "resumed")
+
+    def step(self, n: int = 1):
+        """Allow n more optimizer iterations while paused."""
+        self._steps = getattr(self, "_steps", 0) + n
+
+    @property
+    def paused(self) -> bool:
+        return getattr(self, "_paused", False)
+
+    def wait_if_paused(self, poll_s: float = 0.02):
+        if not getattr(self, "_paused", False):
+            return
+        if getattr(self, "_steps", 0) > 0:
+            self._steps -= 1
+            return
+        while self._paused and self._steps == 0 and not self._stop:
+            time.sleep(poll_s)
+        if self._steps > 0:
+            self._steps -= 1
 
     # -- events (DBSendNew "title@msg") -----------------------------------
     def send(self, source: str, message: str, **payload):

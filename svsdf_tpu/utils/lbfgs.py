@@ -51,6 +51,16 @@ class LBFGSParams:
     #: so merging the 2m scan steps into 2m/unroll fused kernels
     #: shaves fixed overhead off every optimizer iteration.
     scan_unroll: int = 4
+    #: stream per-iteration (it, f, ||g||_inf) to the debugbus from
+    #: INSIDE the compiled loop via jax.experimental.io_callback — the
+    #: reference's DBSendOptiStep/DBSendLogCost live wire (§3.5). The
+    #: callback also services the bus's pause/step gate (the
+    #: reference's debugpause step-through, back_end_optimizer.hpp:
+    #: 1093-1103) and returns the stop flag, so a debug_cmd code-21
+    #: aborts the solve MID-LOOP (earlyExitLMBM parity), not just at
+    #: the next host round boundary. Single-solve paths only — the
+    #: ordered callback forbids vmap.
+    live: bool = False
 
 
 class LBFGSResult(NamedTuple):
@@ -135,6 +145,20 @@ def _parallel_line_search(fun, x, f0, g0, d, p: LBFGSParams, t0):
     g_new = jnp.where(accept, gp, g0)
     # on failure the lowest trial is the bundle info for the null step
     return t, x_new, f_new, g_new, accept, xp, gp
+
+
+def _live_observer(it, f, gnorm):
+    """Host side of LBFGSParams.live: record the iteration on the
+    debugbus, service the pause/step gate, and report whether a stop
+    was requested (consumed by the compiled loop as `done`)."""
+    import numpy as np
+
+    from svsdf_tpu.utils.debugbus import BUS
+
+    BUS.log_scalar("opti_cost", float(f), step=int(it))
+    BUS.log_scalar("opti_gnorm", float(gnorm), step=int(it))
+    BUS.wait_if_paused()
+    return np.bool_(BUS.stop_requested)
 
 
 def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
@@ -310,6 +334,14 @@ def minimize_scheduled(fun: Callable, x0,
             f_new = jnp.where(jump, f_j, f_new)
             g_at_x = jnp.where(jump, g_j, g_at_x)
             ga = jnp.where(jump, g_j, ga)
+        if p.live:
+            from jax.experimental import io_callback
+
+            stop = io_callback(_live_observer,
+                               jax.ShapeDtypeStruct((), jnp.bool_),
+                               c.it, f_new,
+                               jnp.max(jnp.abs(ga)), ordered=True)
+            done = done | stop
         return Carry(x_new, f_new, g_at_x, ga, s_hist, y_hist, rho,
                      n_corr, head, past_f, nulls, it_next, done,
                      converged)

@@ -145,3 +145,51 @@ def load_bus_jsonl(path: str) -> DebugBus:
             elif kind == "timer":
                 bus.timers[rec["name"]] = rec["seconds"]
     return bus
+
+
+class LiveDashboard:
+    """Render the dashboard file DURING a solve.
+
+    A daemon thread re-renders `path` every `interval_s` while the
+    context is active (and once on exit), so cost curves streamed by
+    the live io_callback (utils/lbfgs.py LBFGSParams.live) appear in
+    the HTML as the optimizer runs — the role of debug_assistant's
+    pygame monitor (SURVEY.md §2.4), with the browser as the viewer:
+
+        with LiveDashboard(BUS, "run.html"):
+            back_end.optimize(..., live=True)
+    """
+
+    def __init__(self, bus: DebugBus, path: str,
+                 interval_s: float = 0.5,
+                 title: str = "svsdf_tpu live"):
+        self.bus, self.path = bus, path
+        self.interval_s, self.title = interval_s, title
+        self.renders = 0
+        self._stop = None
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.wait(self.interval_s):
+                self._render()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def _render(self):
+        try:
+            render_dashboard(self.bus, self.path, title=self.title)
+            self.renders += 1
+        except Exception:              # noqa: BLE001 — keep streaming
+            pass
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        self._render()                 # final consistent frame
+        return False
