@@ -209,7 +209,8 @@ def prune_results(path: str, keep: set) -> None:
         return
     rows = [r for r in rows
             if r["name"] in keep
-            or r["name"].startswith(("synthetic_", "deformable_"))]
+            or r["name"].startswith(("synthetic_", "deformable_",
+                                     "mesh_"))]
     with open(path, "w") as f:
         json.dump(sorted(rows, key=lambda r: r["name"]), f, indent=1)
 

@@ -359,12 +359,21 @@ def _staged_solve(shape, cfg, stages, n, max_linesearch,
         svs_cfg, iters = stage[0], stage[1]
         ls = stage[2] if len(stage) > 2 else max_linesearch
         ls_cand = stage[3] if len(stage) > 3 else 0
-        cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
+        frozen_ls = stage[4] if len(stage) > 4 else False
         params = lbfgs.LBFGSParams(
             mem_size=cfg.mem_size, max_iterations=iters,
             g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
             max_linesearch=ls, ls_candidates=ls_cand)
-        res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
+        if frozen_ls:
+            # frozen-oracle line search: trials re-evaluate only the
+            # cheap surrogate against the carried SVSDF linearization;
+            # ONE oracle pass per iteration (lbfgs.minimize frozen=)
+            full, frz = back_end.make_cost_pair_fn(shape, prob, cfg,
+                                                   svs_cfg, n)
+            res = lbfgs.minimize(full, x, params, frozen=frz)
+        else:
+            cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
+            res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
         x = res.x
     times = forward_t(x[:n])
     wps = x[n:].reshape(n - 1, 3)

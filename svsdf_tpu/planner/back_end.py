@@ -55,6 +55,60 @@ class BackEndProblem(NamedTuple):
     obstacles: jnp.ndarray   # (M, 2) world xy obstacle points (z dropped)
 
 
+class OracleState(NamedTuple):
+    """Frozen SVSDF linearization at an iterate — everything the
+    penalty needs that came out of the (expensive, stop-gradded)
+    oracle. Small: O(M) per obstacle set. Reused by the frozen-oracle
+    line search (utils/lbfgs.py `frozen=`): trial steps re-evaluate
+    only the cheap differentiable surrogate against this state, so one
+    optimizer iteration pays exactly ONE oracle evaluation however
+    deep the line search goes."""
+    sdf0: jnp.ndarray      # (M,) oracle SVSDF at the iterate
+    alpha: jnp.ndarray     # (M,) t*/T_total fraction
+    g_rel0: jnp.ndarray    # (M, 2) body-frame SDF gradient
+    p_rel0: jnp.ndarray    # (M, 2) body-frame point at linearization
+
+
+def svsdf_linearize(shape: Shape2D, traj: trj.Trajectory, obstacles,
+                    svs_cfg: SVSDFConfig):
+    """Run the SVSDF oracle (under stop_gradient — envelope theorem at
+    t*) and package the penalty linearization state.
+
+    Returns (OracleState, SVSDFResult)."""
+    traj_sg = trj.Trajectory(jax.lax.stop_gradient(traj.coeffs),
+                             jax.lax.stop_gradient(traj.durations))
+    res = svsdf_query(shape, traj_sg, obstacles, svs_cfg,
+                      with_inside=svs_cfg.use_inside)
+    sdf0 = jax.lax.stop_gradient(res.sdf)
+    t_star = jax.lax.stop_gradient(res.t_star)
+    g_w = jax.lax.stop_gradient(res.grad_world)        # (M, 2)
+    total = jnp.sum(traj_sg.durations)
+    alpha = t_star / total
+    t_eval = alpha * total
+    xy0, yaw0, R0 = trj.state_se2(traj_sg, t_eval)
+    p_rel0 = trj.world_to_body(xy0, R0, obstacles)     # (M, 2)
+    # body-frame gradient at the linearization point: g_rel = R0^T g_w
+    g_rel0 = jnp.einsum("mij,mi->mj", R0, g_w)
+    return OracleState(sdf0, alpha, g_rel0, p_rel0), res
+
+
+def penalty_from_state(traj: trj.Trajectory, obstacles,
+                       st: OracleState, wp, sh, mu):
+    """Differentiable penalty re-expression at the frozen oracle state
+    (the exact surrogate whose jax.grad reproduces grad_cost_p_sw,
+    back_end_optimizer.hpp:1031-1066). Parameterizing the query time
+    as alpha x sum(T) keeps re-timing gradients exact at boundary
+    minimizers (t* = 0 or T_total)."""
+    total = jnp.sum(traj.durations)
+    t_eval = st.alpha * total
+    xy, yaw, R = trj.state_se2(traj, t_eval)           # diff wrt coeffs, T
+    p_rel = trj.world_to_body(xy, R, obstacles)        # (M, 2)
+    sdf_lin = st.sdf0 + jnp.sum(st.g_rel0 * (p_rel - st.p_rel0),
+                                axis=-1)
+    pen = smoothed_l1(sh - sdf_lin, mu)
+    return wp * jnp.sum(pen)
+
+
 def svsdf_penalty(shape: Shape2D, traj: trj.Trajectory, obstacles,
                   cfg: PlannerConfig, svs_cfg: SVSDFConfig,
                   mu: float = 0.01, weight_p=None, safety_hor=None):
@@ -71,35 +125,8 @@ def svsdf_penalty(shape: Shape2D, traj: trj.Trajectory, obstacles,
     round."""
     wp = cfg.weight_p if weight_p is None else weight_p
     sh = cfg.safety_hor if safety_hor is None else safety_hor
-    # --- oracle under stop_gradient (envelope theorem at t*) ---
-    traj_sg = trj.Trajectory(jax.lax.stop_gradient(traj.coeffs),
-                             jax.lax.stop_gradient(traj.durations))
-    res = svsdf_query(shape, traj_sg, obstacles, svs_cfg,
-                      with_inside=svs_cfg.use_inside)
-    sdf0 = jax.lax.stop_gradient(res.sdf)
-    t_star = jax.lax.stop_gradient(res.t_star)
-    g_w = jax.lax.stop_gradient(res.grad_world)        # (M, 2)
-
-    # --- differentiable re-expression at fixed t* ---
-    # Parameterize the query time as a stop-gradded FRACTION of the
-    # total duration: t_eval = alpha* x sum(T). For interior minimizers
-    # the extra dependence contributes ~0 (envelope theorem,
-    # dsdf/dt|t* = 0); for boundary minimizers (t* = 0 or T_total —
-    # obstacle points behind the start / beyond the goal) it is exactly
-    # right, where a fixed-constant t* would inject large spurious
-    # re-timing gradients into every preceding piece.
-    total = jnp.sum(traj.durations)
-    alpha = jax.lax.stop_gradient(t_star / total)
-    t_eval = alpha * total
-    xy, yaw, R = trj.state_se2(traj, t_eval)           # diff wrt coeffs, T
-    p_rel = trj.world_to_body(xy, R, obstacles)        # (M, 2)
-    R0 = jax.lax.stop_gradient(R)
-    p_rel0 = jax.lax.stop_gradient(p_rel)
-    # body-frame gradient at the linearization point: g_rel = R0^T g_w
-    g_rel0 = jnp.einsum("mij,mi->mj", R0, g_w)
-    sdf_lin = sdf0 + jnp.sum(g_rel0 * (p_rel - p_rel0), axis=-1)
-    pen = smoothed_l1(sh - sdf_lin, mu)
-    return wp * jnp.sum(pen), res
+    st, res = svsdf_linearize(shape, traj, obstacles, svs_cfg)
+    return penalty_from_state(traj, obstacles, st, wp, sh, mu), res
 
 
 def make_cost_fn(shape: Shape2D, problem: BackEndProblem,
@@ -117,6 +144,51 @@ def make_cost_fn(shape: Shape2D, problem: BackEndProblem,
         return c + pen + cfg.rho * jnp.sum(times)
 
     return cost
+
+
+def make_cost_pair_fn(shape: Shape2D, problem: BackEndProblem,
+                      cfg: PlannerConfig, svs_cfg: SVSDFConfig, n: int,
+                      mu: float = 0.01, weight_p=None,
+                      safety_hor=None):
+    """(full, frozen) cost pair for the frozen-oracle line search
+    (utils/lbfgs.py `frozen=`).
+
+      full(x)         -> (f, grad, OracleState)  — one oracle pass
+      frozen(x, st)   -> (f~, grad~)             — surrogate only
+
+    The surrogate holds the SVSDF linearization fixed at `st` (an
+    SLP-style model: exact in the smooth energy/time terms, first-order
+    in the penalty — the same first-order model whose gradient the full
+    cost already uses, so the two agree to O(step^2))."""
+    wp = cfg.weight_p if weight_p is None else weight_p
+    sh = cfg.safety_hor if safety_hor is None else safety_hor
+
+    def _traj(x):
+        tau = x[:n]
+        wps = x[n:].reshape(n - 1, 3)
+        times = forward_t(tau)
+        return minco.solve(times, problem.head, problem.tail, wps), times
+
+    def _full_aux(x):
+        traj, times = _traj(x)
+        st, _ = svsdf_linearize(shape, traj, problem.obstacles, svs_cfg)
+        pen = penalty_from_state(traj, problem.obstacles, st, wp, sh, mu)
+        f = minco.energy(traj) + pen + cfg.rho * jnp.sum(times)
+        return f, st
+
+    def full(x):
+        (f, st), g = jax.value_and_grad(_full_aux, has_aux=True)(x)
+        return f, g, st
+
+    def _frozen_f(x, st):
+        traj, times = _traj(x)
+        pen = penalty_from_state(traj, problem.obstacles, st, wp, sh, mu)
+        return minco.energy(traj) + pen + cfg.rho * jnp.sum(times)
+
+    def frozen(x, st):
+        return jax.value_and_grad(_frozen_f)(x, st)
+
+    return full, frozen
 
 
 class BackEndResult(NamedTuple):

@@ -161,15 +161,28 @@ def _live_observer(it, f, gnorm):
     return np.bool_(BUS.stop_requested)
 
 
-def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams()
-             ) -> LBFGSResult:
-    """Minimize fun: x -> (f, g). Jittable; vmap for batches."""
-    return minimize_scheduled(lambda x, it: fun(x), x0, params)
+def minimize(fun: Callable, x0, params: LBFGSParams = LBFGSParams(),
+             frozen: Callable | None = None) -> LBFGSResult:
+    """Minimize fun. Jittable; vmap for batches.
+
+    Without `frozen`: fun: x -> (f, g).
+    With `frozen` (frozen-oracle line search): fun: x -> (f, g, state)
+    where `state` is an arbitrary pytree of expensive by-products
+    (e.g. the SVSDF linearization, planner/back_end.py OracleState),
+    and frozen: (x, state) -> (f~, g~) is the cheap surrogate whose
+    value/gradient MATCH fun at the state's own iterate. The line
+    search then runs entirely on the surrogate and the true cost is
+    evaluated ONCE per iteration, at the chosen trial point."""
+    if frozen is None:
+        return minimize_scheduled(lambda x, it: fun(x), x0, params)
+    return minimize_scheduled(lambda x, it: fun(x), x0, params,
+                              frozen=lambda x, it, st: frozen(x, st))
 
 
 def minimize_scheduled(fun: Callable, x0,
                        params: LBFGSParams = LBFGSParams(),
-                       n_iters=None, stage_bounds=None) -> LBFGSResult:
+                       n_iters=None, stage_bounds=None,
+                       frozen: Callable | None = None) -> LBFGSResult:
     """Minimize fun: (x, it) -> (f, g), where `it` is the (traced)
     outer iteration counter — the hook for continuation schedules
     (e.g. the back end's hinge-smoothing mu ladder) to live INSIDE one
@@ -189,6 +202,13 @@ def minimize_scheduled(fun: Callable, x0,
     reproducing the per-stage restart semantics of a staged solve.
     Curvature pairs carry across stages (cautious updates reject any
     that disagree with the new landscape).
+
+    frozen: optional surrogate (x, it, state) -> (f~, g~). When given,
+    fun must be (x, it) -> (f, g, state); see `minimize`. Each
+    iteration line-searches on the surrogate at the carried state,
+    then pays ONE true evaluation at the chosen trial point; a trial
+    whose TRUE cost does not decrease becomes a null step (with the
+    true subgradient at the trial feeding the LMBM-style aggregation).
     """
     p = params
     n = x0.shape[-1]
@@ -199,13 +219,18 @@ def minimize_scheduled(fun: Callable, x0,
     bounds = (None if stage_bounds is None
               else jnp.asarray(stage_bounds))
 
-    f0, g0 = fun(x0, jnp.asarray(0))
+    if frozen is None:
+        f0, g0 = fun(x0, jnp.asarray(0))
+        fro0 = jnp.zeros((), dtype)         # placeholder pytree leaf
+    else:
+        f0, g0, fro0 = fun(x0, jnp.asarray(0))
 
     class Carry(NamedTuple):
         x: jnp.ndarray
         f: jnp.ndarray
         g: jnp.ndarray        # gradient at x
         ga: jnp.ndarray       # aggregate subgradient (LMBM-style)
+        fro: object           # frozen-oracle state pytree (or dummy)
         s_hist: jnp.ndarray   # (m, n)
         y_hist: jnp.ndarray   # (m, n)
         rho: jnp.ndarray      # (m,)
@@ -265,8 +290,26 @@ def minimize_scheduled(fun: Callable, x0,
                        jnp.asarray(p.init_step, c.x.dtype))
         search = (_parallel_line_search if p.ls_candidates > 0
                   else _weak_wolfe_search)
-        t, x_new, f_new, g_new, ok, x_trial, g_trial = search(
-            fun_it, c.x, c.f, c.ga, d, p, t0=t0)
+        if frozen is None:
+            t, x_new, f_new, g_new, ok, x_trial, g_trial = search(
+                fun_it, c.x, c.f, c.ga, d, p, t0=t0)
+            fro_new = c.fro
+        else:
+            # line search on the frozen surrogate (cheap), then ONE
+            # true evaluation at the chosen trial point. The surrogate
+            # agrees with the true cost at c.x (frozen state was
+            # computed there), so its Armijo baseline c.f is exact.
+            fro_fun = lambda xt: frozen(xt, c.it, c.fro)
+            t, _, _, _, _, x_trial, _ = search(
+                fro_fun, c.x, c.f, c.ga, d, p, t0=t0)
+            f_t, g_t, fro_t = fun(x_trial, c.it)
+            ok = f_t < c.f
+            x_new = jnp.where(ok, x_trial, c.x)
+            f_new = jnp.where(ok, f_t, c.f)
+            g_new = jnp.where(ok, g_t, c.g)
+            g_trial = g_t
+            fro_new = jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), fro_t, c.fro)
 
         s = x_new - c.x
         y = g_new - c.g
@@ -328,9 +371,16 @@ def minimize_scheduled(fun: Callable, x0,
             past_f = jnp.where(jump, jnp.full_like(past_f, jnp.inf),
                                past_f)
             done = finished & ~jump
-            f_j, g_j = jax.lax.cond(
-                jump, lambda: fun(x_new, nb),
-                lambda: (f_new, g_at_x))
+            if frozen is None:
+                f_j, g_j = jax.lax.cond(
+                    jump, lambda: fun(x_new, nb),
+                    lambda: (f_new, g_at_x))
+            else:
+                f_j, g_j, fro_j = jax.lax.cond(
+                    jump, lambda: fun(x_new, nb),
+                    lambda: (f_new, g_at_x, fro_new))
+                fro_new = jax.tree.map(
+                    lambda a, b: jnp.where(jump, a, b), fro_j, fro_new)
             f_new = jnp.where(jump, f_j, f_new)
             g_at_x = jnp.where(jump, g_j, g_at_x)
             ga = jnp.where(jump, g_j, ga)
@@ -342,12 +392,12 @@ def minimize_scheduled(fun: Callable, x0,
                                c.it, f_new,
                                jnp.max(jnp.abs(ga)), ordered=True)
             done = done | stop
-        return Carry(x_new, f_new, g_at_x, ga, s_hist, y_hist, rho,
-                     n_corr, head, past_f, nulls, it_next, done,
-                     converged)
+        return Carry(x_new, f_new, g_at_x, ga, fro_new, s_hist,
+                     y_hist, rho, n_corr, head, past_f, nulls, it_next,
+                     done, converged)
 
     init = Carry(
-        x=x0, f=f0, g=g0, ga=g0,
+        x=x0, f=f0, g=g0, ga=g0, fro=fro0,
         s_hist=jnp.zeros((m, n), dtype), y_hist=jnp.zeros((m, n), dtype),
         rho=jnp.zeros((m,), dtype), n_corr=jnp.asarray(0),
         head=jnp.asarray(0),

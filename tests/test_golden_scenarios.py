@@ -71,3 +71,32 @@ def test_golden_replay(name):
     assert res.certified, f"{name}: min_cert_sdf={res.min_cert_sdf}"
     got, want = float(res.final_cost), float(rec["final_cost"])
     assert abs(got - want) / want < _COST_RTOL, (name, got, want)
+
+
+@pytest.mark.golden
+@pytest.mark.slow
+@pytest.mark.parametrize("dx,dy", [(0.25, 0.0), (-0.25, 0.0),
+                                   (0.0, 0.25), (0.0, -0.25)])
+def test_horseshoe_certifies_under_start_goal_perturbation(dx, dy):
+    """sdHorseshoe is the thinnest-margin scenario in the suite
+    (recorded min_cert_sdf 0.091 m — one voxel rounding from failure).
+    Robustness check: the pipeline must still produce a certified plan
+    when start and goal are jittered by a quarter-voxel-scale offset
+    in each cardinal direction (VERDICT r1 weak #6)."""
+    from svsdf_tpu.ops.svsdf import SVSDFConfig
+    from svsdf_tpu.planner.pipeline import Planner
+    from svsdf_tpu.utils import fixtures
+
+    sc = fixtures.load_scenario("sdHorseshoe")
+    svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
+                      gsip_coarse_n=64, gsip_refine_rounds=1,
+                      refine_interp_n=512, gsip_fori=True)
+    planner = Planner(sc.config, sc.map_points, svs_cfg=svs)
+    start = np.asarray(sc.start, np.float64).copy()
+    goal = np.asarray(sc.goal, np.float64).copy()
+    start[:2] += (dx, dy)
+    goal[:2] -= (dx, dy)
+    res = planner.plan(start, goal)
+    assert res.success, (dx, dy)
+    assert res.certified, (dx, dy, float(res.min_cert_sdf))
+    assert float(res.min_cert_sdf) > 0.0

@@ -115,3 +115,67 @@ def test_minimize_scheduled_stage_jumping():
     # quadratic converges in ~2 iterations per stage; the jumps mean
     # total iterations stay far below the 60 budget
     assert int(res.n_iters) <= 60
+
+
+def test_frozen_oracle_line_search_matches_plain():
+    """minimize(frozen=) with a surrogate that IS the true model must
+    behave like a plain solve (same minimizer within tolerance); and
+    on a quadratic with an 'expensive' state (the Hessian diag) the
+    frozen path must converge using one true eval per iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    from svsdf_tpu.utils import lbfgs
+
+    A = jnp.asarray([3.0, 1.0, 0.5, 7.0, 2.0])
+    b = jnp.asarray([1.0, -2.0, 0.5, 3.0, -1.0])
+
+    def f_only(x):
+        f = jnp.sum(A * (x - b) ** 2)
+        return f, 2.0 * A * (x - b)
+
+    n_true = {"count": 0}
+
+    def full(x):
+        f, g = f_only(x)
+        return f, g, A          # state = 'oracle byproduct'
+
+    def frozen(x, st):
+        f = jnp.sum(st * (x - b) ** 2)
+        return f, 2.0 * st * (x - b)
+
+    p = lbfgs.LBFGSParams(max_iterations=60, g_epsilon=1e-8)
+    x0 = jnp.zeros(5)
+    r_plain = lbfgs.minimize(f_only, x0, p)
+    r_frozen = lbfgs.minimize(full, x0, p, frozen=frozen)
+    assert float(jnp.max(jnp.abs(r_frozen.x - b))) < 1e-5
+    assert float(jnp.max(jnp.abs(r_plain.x - r_frozen.x))) < 1e-4
+    assert bool(r_frozen.converged)
+
+
+def test_frozen_oracle_rejects_bad_surrogate_steps():
+    """When the surrogate is WRONG (scaled gradient), the true-cost
+    accept gate must still guarantee monotone decrease."""
+    import jax.numpy as jnp
+
+    from svsdf_tpu.utils import lbfgs
+
+    A = jnp.asarray([5.0, 0.2, 1.0])
+
+    def full(x):
+        f = jnp.sum(A * x ** 2) + jnp.sum(jnp.abs(x))   # nonsmooth
+        g = 2.0 * A * x + jnp.sign(x)
+        return f, g, jnp.zeros(())
+
+    def frozen(x, st):
+        # deliberately mis-scaled surrogate
+        f = 3.0 * jnp.sum(A * x ** 2)
+        return f, 6.0 * A * x
+
+    p = lbfgs.LBFGSParams(max_iterations=80, g_epsilon=1e-9,
+                          delta=0.0)
+    x0 = jnp.asarray([2.0, -3.0, 1.5])
+    res = lbfgs.minimize(full, x0, p, frozen=frozen)
+    f0 = float(jnp.sum(A * x0 ** 2) + jnp.sum(jnp.abs(x0)))
+    assert float(res.f) < f0          # decreased despite bad model
+    assert float(res.f) < 1.0         # made real progress toward 0
