@@ -15,6 +15,7 @@ Usage:
     python scripts/run_scenarios.py sdHeart star    # subset
     python scripts/run_scenarios.py --extras        # + 5 synthetic gate maps
     python scripts/run_scenarios.py --warm          # also measure warm replan
+    python scripts/run_scenarios.py --isolate      # subprocess per scenario
     python scripts/run_scenarios.py --solver lmbm   # back end via LMBM
     JAX_PLATFORMS=cpu python scripts/run_scenarios.py   # force CPU
 
@@ -43,18 +44,19 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
     if solver != "lbfgs":
         rec["solver"] = solver
     t0 = time.time()
-    if name.startswith("synthetic_"):
-        sc = fixtures.synthetic_scenario(name.removeprefix("synthetic_"))
-    elif name.startswith("deformable_"):
-        sc = fixtures.deformable_scenario(name)
-    elif name.startswith("mesh_"):
-        sc = fixtures.mesh_scenario(name.removeprefix("mesh_"))
-    else:
-        sc = fixtures.load_scenario(name)
     svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
                       gsip_coarse_n=64, gsip_refine_rounds=1,
                       refine_interp_n=512, gsip_fori=True)
     try:
+        if name.startswith("synthetic_"):
+            sc = fixtures.synthetic_scenario(
+                name.removeprefix("synthetic_"))
+        elif name.startswith("deformable_"):
+            sc = fixtures.deformable_scenario(name)
+        elif name.startswith("mesh_"):
+            sc = fixtures.mesh_scenario(name.removeprefix("mesh_"))
+        else:
+            sc = fixtures.load_scenario(name)
         planner = Planner(sc.config, sc.map_points, svs_cfg=svs,
                           solver=solver, shape=sc.shape)
         rec["build_s"] = round(time.time() - t0, 1)
@@ -168,9 +170,14 @@ def main():
             + fixtures.list_deformable_scenarios()
     results_path = os.environ.get("SVSDF_RESULTS",
                                   "scenario_results.json")
+    isolate = "--isolate" in flags
     out = []
     for name in names:
-        rec = run_one(name, solver=solver, warm="--warm" in flags)
+        if isolate:
+            rec = run_isolated(name, solver, "--warm" in flags,
+                               results_path)
+        else:
+            rec = run_one(name, solver=solver, warm="--warm" in flags)
         out.append(rec)
         print(json.dumps(rec), flush=True)
         merge_result(results_path, rec)
@@ -181,6 +188,33 @@ def main():
         prune_results(results_path, {r["name"] for r in out})
     n_ok = sum(1 for r in out if r.get("success"))
     print(f"# {n_ok}/{len(out)} scenarios succeeded", flush=True)
+
+
+def run_isolated(name: str, solver: str, warm: bool,
+                 results_path: str) -> dict:
+    """Run one scenario in a SUBPROCESS so a TPU device fault (which
+    poisons the faulting process's JAX runtime — every later dispatch
+    raises UNAVAILABLE) cannot take the rest of the suite down with
+    it. The child writes to a temp results file; we read its row back."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        child_path = os.path.join(td, "one.json")
+        env = dict(os.environ, SVSDF_RESULTS=child_path)
+        argv = [sys.executable, os.path.abspath(__file__), name]
+        if warm:
+            argv.append("--warm")
+        if solver != "lbfgs":
+            argv += ["--solver", solver]
+        try:
+            subprocess.run(argv, env=env, timeout=3600, check=False)
+            with open(child_path) as f:
+                return json.load(f)[0]
+        except Exception as e:                         # noqa: BLE001
+            return {"name": name, "success": False,
+                    "error": f"isolated run failed: "
+                             f"{type(e).__name__}: {e}"}
 
 
 def merge_result(path: str, rec: dict) -> None:

@@ -27,6 +27,7 @@ def _problem(n=4, n_obs=12, seed=0):
     return head, tail, obs, x0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["lbfgs", "lmbm"])
 def test_back_end_solver_improves_cost(solver):
     shape = shapes.make_shape("Circle")
@@ -52,6 +53,7 @@ def _min_svsdf(shape, traj, obs):
                              with_inside=False).sdf.min())
 
 
+@pytest.mark.slow
 def test_solvers_reach_comparable_cost():
     """L-BFGS (our default) and LMBM (the reference's solver,
     lmbm.h:214) must land in the same cost regime on a corridor
@@ -70,6 +72,7 @@ def test_solvers_reach_comparable_cost():
         assert c < 1.6 * lo, costs
 
 
+@pytest.mark.slow
 def test_solvers_clear_obstacles_from_colliding_start():
     """Warm start threaded THROUGH an obstacle: both solvers must push
     the swept volume off the obstacle set (certificate improvement,

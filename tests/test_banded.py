@@ -1,6 +1,7 @@
 """Banded LU solver vs dense oracle, values and gradients."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,7 @@ def test_grad_matches_dense():
                                atol=1e-8)
 
 
+@pytest.mark.slow
 def test_minco_banded_matches_dense():
     rng = np.random.default_rng(5)
     n = 6
@@ -117,6 +119,7 @@ def _minco_like(n, seed):
         minco.build_system(times, head, tail, wps)
 
 
+@pytest.mark.slow
 def test_cr_matches_dense_minco_family():
     from svsdf_tpu.ops import block_cr
     for n in [1, 2, 3, 4, 5, 7, 8, 9, 16, 33]:
@@ -128,6 +131,7 @@ def test_cr_matches_dense_minco_family():
         assert err < 1e-9, (n, err)
 
 
+@pytest.mark.slow
 def test_cr_f32_accuracy():
     """Equilibrated CR + 1 refinement in f32 matches the sequential
     scan's accuracy class (~1e-5 relative) on planner-like systems —
@@ -163,6 +167,7 @@ def test_cr_grad_matches_scan():
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_cr_vmap():
     from svsdf_tpu.ops import block_cr
     rng = np.random.default_rng(9)

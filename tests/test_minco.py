@@ -3,6 +3,7 @@ waypoint interpolation, energy vs numerical quadrature, and gradient
 sanity (autodiff through the solve replaces propogateGrad)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -121,6 +122,7 @@ def test_vmap_batch():
                                    np.asarray(single.coeffs), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_eval_dense_matches_gather():
     """The dense one-hot eval path must match the gather path exactly,
     including out-of-range clamping and duration gradients."""
@@ -148,6 +150,7 @@ def test_eval_dense_matches_gather():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_minco_general_family():
     """S2/S3/S4 via the general solver: boundary + waypoint interpolation
     and continuity (minco.hpp MINCO_S2NU:201 / S3NU:397 / S4NU:658)."""

@@ -96,6 +96,7 @@ def test_plan_batch_runs_and_converges_somewhere():
     assert np.isfinite(np.asarray(out.cost)).all()
 
 
+@pytest.mark.slow
 def test_plan_batch_staged_with_per_stage_ls():
     """Staged solve with (cfg, iters) and (cfg, iters, ls) stage forms;
     warm-started stages must not increase the final-stage cost family
@@ -116,6 +117,7 @@ def test_plan_batch_staged_with_per_stage_ls():
     assert float(out.cost.mean()) <= float(out1.cost.mean()) * 1.5
 
 
+@pytest.mark.slow
 def test_sharded_full_solve_matches_unsharded():
     """sharded_plan_batch (full L-BFGS inside shard_map, obs-psum per
     iteration) must match the single-device vmapped solve."""
@@ -191,6 +193,7 @@ def test_plan_batch_e2e_device_pipeline():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_plan_batch_e2e_matches_single_device():
     """Sharded e2e planning (scn-axis data parallel) matches the
     single-device call on the same inputs."""
@@ -228,6 +231,7 @@ def test_sharded_plan_batch_e2e_matches_single_device():
                                np.asarray(out_1.cost), rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_plan_batch_staged_parallel_linesearch():
     """4-element stage tuples (cfg, iters, ls, ls_candidates) select
     the batched parallel line search; results stay finite and sane."""

@@ -2,6 +2,7 @@
 (traj server, swept surface extraction, debug bus, flatness)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -56,6 +57,7 @@ def test_full_pipeline_synthetic():
     assert res.final_cost <= res.mid_cost * 5  # sanity (different costs)
 
 
+@pytest.mark.slow
 def test_traj_server_commands():
     cfg, pts = _scenario()
     pl = Planner(cfg, pts, use_transition_check=False)
@@ -145,6 +147,7 @@ def test_flatness_grad_finite():
     np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_certify_and_pad():
     """Map-wide certificate + active-set padding (pipeline.certify)."""
     cfg, pts = _scenario()
@@ -168,6 +171,7 @@ def test_certify_and_pad():
     assert padded2.shape == (8, 3)
 
 
+@pytest.mark.slow
 def test_debug_bus_early_exit():
     """debug_cmd code-21 parity: stop_requested aborts refine rounds /
     retries and plan() returns best-so-far (plan_manager.cpp:431-445,
@@ -188,6 +192,7 @@ def test_debug_bus_early_exit():
     assert any(e.get("message") == "stop_requested" for e in BUS.events)
 
 
+@pytest.mark.slow
 def test_full_pipeline_mesh_shape(tmp_path):
     """End-to-end plan with a MESH robot (.obj -> SDF grid -> device
     sampling) — the reference's custom-obj path (BasicShape mesh SDF,
@@ -209,6 +214,7 @@ def test_full_pipeline_mesh_shape(tmp_path):
     assert res.min_cert_sdf > 0.0
 
 
+@pytest.mark.slow
 def test_online_replanner():
     """Compile-once replanner: fixed shapes, repeated replans reuse
     the cached executable, results are certified trajectories."""
@@ -407,6 +413,7 @@ def test_nudge_waypoints_moves_near_waypoints_away():
     assert x[n + 4] == 0.0
 
 
+@pytest.mark.slow
 def test_synthetic_scenario_bigx_end_to_end():
     """Gate-map synthetic fixture (shapes without reference demos must
     still plan end-to-end): bigX through a sized gap, collision-free

@@ -6,6 +6,7 @@ gradient direction, and GSIP interior distance on a translating circle
 import math
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -94,6 +95,7 @@ def test_translating_circle_closed_form():
     assert g[4, 1] > 0.9
 
 
+@pytest.mark.slow
 def test_grad_world_matches_fd():
     """World gradient == finite difference of the swept SDF (outside)."""
     shape = shapes.make_shape("sdRoundedX")
@@ -113,6 +115,7 @@ def test_grad_world_matches_fd():
                                        atol=2e-3)
 
 
+@pytest.mark.slow
 def test_grid_query_shape():
     shape = shapes.make_shape("Circle")
     traj = _straight_traj(n=3)
@@ -124,6 +127,7 @@ def test_grid_query_shape():
     assert float(field[0, 0]) > 1.0
 
 
+@pytest.mark.slow
 def test_gsip_topk_matches_full():
     """gsip_topk restricts the interior GSIP solve to the K
     most-interior points; with K >= the number of interior points it
