@@ -8,10 +8,19 @@ Primary metric: batched back-end plans/s (full nonsmooth L-BFGS solve,
 no numbers (BASELINE.md); the north-star target is >=1000 plans/s on a
 v5e-16, i.e. 62.5 plans/s/chip — vs_baseline is measured against that.
 Also reports dense SVSDF grid queries/s/chip as a secondary field.
+
+Robustness (round 3, after BENCH_r02 died rc=124/parsed=null): every
+section runs in its OWN subprocess with its own wall-clock budget, and
+the parent prints the headline JSON line TWICE — once as soon as the
+primary section lands (so a driver timeout after that point still
+records a number) and once complete at the end. A cold compile cache
+can sink individual sections to NaN but can no longer zero the round.
+Budgets via $BENCH_BUDGET_S (default 1080 s total).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -23,20 +32,23 @@ def _enable_comp_cache():
     repeated bench invocations) skip the slow remote TPU recompiles."""
     import os as _os
     import jax as _jax
-    _os.makedirs("/root/.cache/jax_comp", exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir",
-                       "/root/.cache/jax_comp")
+    d = _os.environ.get("BENCH_CACHE_DIR", "/root/.cache/jax_comp")
+    _os.makedirs(d, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", d)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-_enable_comp_cache()
-
-import numpy as np
-import jax
-import jax.numpy as jnp
+#: mem_size=8 for the batched solves: measured on v5e (batch 256,
+#: same problem set, scan_unroll=4) m16 894 plans/s / cost 2714.0 vs
+#: m8 918 plans/s / 2707.7 — the shorter two-loop recursion cuts the
+#: serialization-bound iteration and the final cost is statistically
+#: equal. Single-plan/API users keep the reference-parity default 16.
+_BENCH_MEM_SIZE = 8
 
 
 def _problem(n_pieces, n_obs, batch, seed=0):
+    import numpy as np
+    import jax.numpy as jnp
     from svsdf_tpu.utils.transforms import backward_t
     rng = np.random.default_rng(seed)
     head = np.zeros((batch, 3, 3), np.float32)
@@ -56,20 +68,13 @@ def _problem(n_pieces, n_obs, batch, seed=0):
             jnp.asarray(x0.astype(np.float32)))
 
 
-#: mem_size=8 for the batched solves: measured on v5e (batch 256,
-#: same problem set, scan_unroll=4) m16 894 plans/s / cost 2714.0 vs
-#: m8 918 plans/s / 2707.7 — the shorter two-loop recursion cuts the
-#: serialization-bound iteration and the final cost is statistically
-#: equal. Single-plan/API users keep the reference-parity default 16.
-_BENCH_MEM_SIZE = 8
-
-
 def bench_plans(n_pieces=8, n_obs=64, iters=50):
     """Full-featured (GSIP interior solve enabled) batched planning
     throughput. Tries a batch ladder — very large batches with the
     interior solve compiled in can exceed the TPU compiler's limits."""
+    import numpy as np
+    import jax.numpy as jnp
     from svsdf_tpu.models import shapes
-    from svsdf_tpu.ops.svsdf import SVSDFConfig
     from svsdf_tpu.parallel import batch as pbatch
     from svsdf_tpu.planner.back_end import BackEndProblem
     from svsdf_tpu.utils.config import PlannerConfig
@@ -104,14 +109,19 @@ def bench_plans(n_pieces=8, n_obs=64, iters=50):
                 float(out.cost.sum())
                 times.append(time.perf_counter() - t0)
             dt = float(np.median(times))
-            return batch / dt, dt, batch
+            return {"plans_per_s": batch / dt, "plan_batch_wall_s": dt,
+                    "plan_batch_size": batch}
         except Exception as e:                     # noqa: BLE001
             print(f"# batch={batch} failed: {str(e)[:120]}",
                   file=sys.stderr)
-    return float("nan"), float("nan"), 0
+    return {"plans_per_s": float("nan"),
+            "plan_batch_wall_s": float("nan"), "plan_batch_size": 0}
 
 
 def bench_grid_queries(grid=256, coarse_n=256):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from svsdf_tpu.models import shapes
     from svsdf_tpu.ops import minco
     from svsdf_tpu.ops.svsdf import SVSDFConfig, svsdf_query
@@ -162,12 +172,14 @@ def bench_grid_queries(grid=256, coarse_n=256):
         float(run_chain(pts, ds))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
-    return reps * pts.shape[0] / dt, dt / reps
+    return {"queries_per_s": reps * pts.shape[0] / dt,
+            "grid_batch_s": dt / reps}
 
 
 def bench_e2e(batch=256, n_pieces=8, n_obs=48, iters=40):
     """Fully end-to-end batched plans/s: device wavefront front end +
     resample + harvest + staged solve, one dispatch (plan_batch_e2e)."""
+    import numpy as np
     import jax.numpy as jnp
     from svsdf_tpu.models import shapes
     from svsdf_tpu.ops import kernels as kops
@@ -219,7 +231,7 @@ def bench_e2e(batch=256, n_pieces=8, n_obs=48, iters=40):
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     ok = float(np.mean(np.asarray(out.front_ok)))
-    return batch / dt, ok
+    return {"e2e_per_s": batch / dt, "e2e_ok": ok}
 
 
 def bench_replan_latency(n_pieces=8, n_obs=64, iters=50, reps=15):
@@ -227,6 +239,7 @@ def bench_replan_latency(n_pieces=8, n_obs=64, iters=50, reps=15):
     SURVEY.md §6 'p50 replan latency at 1 chip' metric. Uses the
     low-latency schedule (parallel line search: width for depth —
     measured 72 ms vs 150 ms with the throughput schedule)."""
+    import numpy as np
     from svsdf_tpu.models import shapes
     from svsdf_tpu.parallel import batch as pbatch
     from svsdf_tpu.planner.back_end import BackEndProblem
@@ -246,39 +259,173 @@ def bench_replan_latency(n_pieces=8, n_obs=64, iters=50, reps=15):
         float(out.cost.sum())
         if i > 0:                  # drop the compile run
             lat.append(time.perf_counter() - t0)
-    return float(np.median(lat))
+    return {"replan_p50_s": float(np.median(lat))}
+
+
+_SECTIONS = {
+    "plans": bench_plans,
+    "grid": bench_grid_queries,
+    "replan": bench_replan_latency,
+    "e2e": bench_e2e,
+}
+
+#: per-section wall budgets (s). plans is the primary metric and gets
+#: the deepest budget; totals stay under BENCH_BUDGET_S (default 1080)
+#: so the driver's own timeout — whatever it is — lands after at least
+#: one headline print, not before.
+_BUDGETS = {"plans": 600, "grid": 150, "replan": 180, "e2e": 300}
+
+
+def _child(sections) -> None:
+    """Child-process entry: run the listed sections SEQUENTIALLY in one
+    process (one backend init, one executable-load pass), streaming a
+    tagged result line per section. A section that raises is reported
+    and skipped; a section that HANGS is the parent's problem (it
+    kills this child and restarts with the remaining sections)."""
+    _enable_comp_cache()
+    for section in sections:
+        print("#START " + section, flush=True)
+        t0 = time.time()
+        try:
+            out = _SECTIONS[section]()
+        except Exception as e:                     # noqa: BLE001
+            print(f"# section {section} raised: {str(e)[:200]}",
+                  flush=True)
+            out = {}
+        out["section_wall_s"] = round(time.time() - t0, 1)
+        if section == "plans":
+            import jax
+            out["backend"] = jax.default_backend()
+            out["device"] = str(jax.devices()[0])
+        print(f"#RESULT {section} " + json.dumps(out), flush=True)
+
+
+def _stream_sections(sections, res, deadline, on_result) -> list:
+    """Spawn ONE child for `sections`; stream its per-section results,
+    enforcing each section's budget (and the global deadline) by
+    wall clock. Returns the list of sections still pending when the
+    child had to be killed (caller restarts with those, minus the one
+    that hung)."""
+    import queue
+    import threading
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--sections",
+         ",".join(sections)],
+        stdout=subprocess.PIPE, text=True, bufsize=1)
+    lines: queue.Queue = queue.Queue()
+
+    def reader():
+        # a dedicated thread avoids the select-vs-buffered-readline
+        # pitfall (a #RESULT sitting in the text buffer while select
+        # waits on the fd would read as a hung section)
+        for ln in proc.stdout:
+            lines.put(ln.rstrip("\n"))
+        lines.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+    pending = list(sections)
+    current = None
+    started = time.time()
+    while pending:
+        budget = _BUDGETS.get(current or pending[0], 300)
+        timeout_at = min(started + budget, deadline)
+        if time.time() >= timeout_at:
+            hung = current or pending[0]
+            print(f"# section {hung}: budget expired "
+                  f"({time.time() - started:.0f}s) — killing child",
+                  file=sys.stderr)
+            proc.kill()
+            if hung in pending:
+                pending.remove(hung)
+            return pending if time.time() < deadline else []
+        try:
+            line = lines.get(timeout=min(5.0, max(
+                0.1, timeout_at - time.time())))
+        except queue.Empty:
+            continue
+        if line is None:
+            return []              # child exited; nothing restartable
+        if line.startswith("#START "):
+            current = line.split(" ", 1)[1]
+            started = time.time()
+        elif line.startswith("#RESULT "):
+            _, name, payload = line.split(" ", 2)
+            res[name] = json.loads(payload)
+            print(f"# section {name} done in "
+                  f"{time.time() - started:.0f}s", file=sys.stderr)
+            if name in pending:
+                pending.remove(name)
+            current = None
+            started = time.time()
+            on_result(name)
+        elif line.startswith("#"):
+            print(line, file=sys.stderr)
+    try:
+        proc.wait(timeout=15)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+    return []
+
+
+def _headline(res: dict, partial: bool) -> str:
+    import math
+    target_per_chip = 1000.0 / 16.0  # north star: 1000 plans/s, v5e-16
+    plans = res.get("plans", {})
+    grid = res.get("grid", {})
+    replan = res.get("replan", {})
+    e2e = res.get("e2e", {})
+    nan = float("nan")
+    v = plans.get("plans_per_s", nan)
+
+    def r(x, k=2):
+        return round(x, k) if isinstance(x, float) and math.isfinite(x) \
+            else None
+
+    return json.dumps({
+        "metric": "batched_svsdf_plans_per_s_per_chip",
+        "value": r(v),
+        "unit": "plans/s",
+        "vs_baseline": r(v / target_per_chip, 3),
+        "extra": {
+            "e2e_plans_per_s": r(e2e.get("e2e_per_s", nan)),
+            "e2e_frontend_success_rate": r(e2e.get("e2e_ok", nan), 3),
+            "replan_latency_p50_ms": r(
+                replan.get("replan_p50_s", nan) * 1e3),
+            "svsdf_grid_queries_per_s": r(
+                grid.get("queries_per_s", nan), 1),
+            "grid_query_batch_ms": r(grid.get("grid_batch_s", nan)
+                                     * 1e3),
+            "plan_batch_wall_s": r(plans.get("plan_batch_wall_s", nan),
+                                   3),
+            "plan_batch_size": plans.get("plan_batch_size"),
+            "backend": plans.get("backend"),
+            "device": plans.get("device"),
+            "partial": partial,
+        },
+    })
 
 
 def main():
-    plans_per_s, plan_dt, used_batch = bench_plans()
-    queries_per_s, grid_dt = bench_grid_queries()
-    try:
-        replan_p50 = bench_replan_latency()
-    except Exception:                              # noqa: BLE001
-        replan_p50 = float("nan")
-    try:
-        e2e_per_s, e2e_ok = bench_e2e()
-    except Exception as e:                         # noqa: BLE001
-        print(f"# e2e bench failed: {str(e)[:120]}", file=sys.stderr)
-        e2e_per_s, e2e_ok = float("nan"), 0.0
-    target_per_chip = 1000.0 / 16.0   # north star: 1000 plans/s on v5e-16
-    print(json.dumps({
-        "metric": "batched_svsdf_plans_per_s_per_chip",
-        "value": round(plans_per_s, 2),
-        "unit": "plans/s",
-        "vs_baseline": round(plans_per_s / target_per_chip, 3),
-        "extra": {
-            "e2e_plans_per_s": round(e2e_per_s, 2),
-            "e2e_frontend_success_rate": round(e2e_ok, 3),
-            "replan_latency_p50_ms": round(replan_p50 * 1e3, 2),
-            "svsdf_grid_queries_per_s": round(queries_per_s, 1),
-            "grid_query_batch_ms": round(grid_dt * 1e3, 2),
-            "plan_batch_wall_s": round(plan_dt, 3),
-            "plan_batch_size": used_batch,
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    if "--sections" in sys.argv:
+        _child(sys.argv[sys.argv.index("--sections") + 1].split(","))
+        return
+    total_budget = float(os.environ.get("BENCH_BUDGET_S", 1080))
+    deadline = time.time() + total_budget
+    res = {}
+
+    def on_result(name):
+        if name == "plans":
+            # print the primary metric IMMEDIATELY: a driver timeout
+            # during the remaining sections still records a number
+            print(_headline(res, partial=True), flush=True)
+
+    pending = ["plans", "grid", "replan", "e2e"]
+    while pending and time.time() < deadline - 30:
+        pending = _stream_sections(pending, res, deadline, on_result)
+        if pending:
+            print(f"# restarting child for {pending}", file=sys.stderr)
+    print(_headline(res, partial=False), flush=True)
 
 
 if __name__ == "__main__":

@@ -78,9 +78,12 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
         rec["final_cost"] = float(res.final_cost)
         total = float(res.traj.total_duration)
         rec["duration_s"] = round(total, 2)
+        # endpoint error vs the REQUESTED goal (the pipeline pins the
+        # continuous goal xy into the spline tail; the reference's
+        # cell-center snap left up to res/2*sqrt(2) here)
         pT = np.asarray(trj.pos(res.traj, total - 1e-6))[:2]
         rec["goal_err_m"] = round(float(np.linalg.norm(
-            pT - res.astar_path[-1][:2])), 4)
+            pT - np.asarray(sc.goal)[:2])), 4)
         # certificate 1: harvested obstacle set
         if len(res.obstacles):
             q = svsdf_query(planner.shape, res.traj,
@@ -190,31 +193,52 @@ def main():
     print(f"# {n_ok}/{len(out)} scenarios succeeded", flush=True)
 
 
+#: substrings marking an INFRASTRUCTURE fault of the remote TPU
+#: backend (device fault / tunnel hiccup), not a planner failure —
+#: worth a clean-process retry. Round-2 regression: sdRoundedX died
+#: with a one-off "UNAVAILABLE: TPU device error" during kernel build
+#: and the suite recorded it as a scenario failure.
+_TRANSIENT = ("UNAVAILABLE", "TPU device error", "DEADLINE_EXCEEDED",
+              "Socket closed", "failed to connect")
+
+
 def run_isolated(name: str, solver: str, warm: bool,
-                 results_path: str) -> dict:
+                 results_path: str, retries: int = 2) -> dict:
     """Run one scenario in a SUBPROCESS so a TPU device fault (which
     poisons the faulting process's JAX runtime — every later dispatch
     raises UNAVAILABLE) cannot take the rest of the suite down with
-    it. The child writes to a temp results file; we read its row back."""
+    it. The child writes to a temp results file; we read its row back.
+    Transient backend faults (_TRANSIENT) get up to `retries` fresh
+    child processes before the failure is recorded."""
     import subprocess
     import tempfile
 
-    with tempfile.TemporaryDirectory() as td:
-        child_path = os.path.join(td, "one.json")
-        env = dict(os.environ, SVSDF_RESULTS=child_path)
-        argv = [sys.executable, os.path.abspath(__file__), name]
-        if warm:
-            argv.append("--warm")
-        if solver != "lbfgs":
-            argv += ["--solver", solver]
-        try:
-            subprocess.run(argv, env=env, timeout=3600, check=False)
-            with open(child_path) as f:
-                return json.load(f)[0]
-        except Exception as e:                         # noqa: BLE001
-            return {"name": name, "success": False,
-                    "error": f"isolated run failed: "
-                             f"{type(e).__name__}: {e}"}
+    rec = None
+    for attempt in range(1 + max(retries, 0)):
+        with tempfile.TemporaryDirectory() as td:
+            child_path = os.path.join(td, "one.json")
+            env = dict(os.environ, SVSDF_RESULTS=child_path)
+            argv = [sys.executable, os.path.abspath(__file__), name]
+            if warm:
+                argv.append("--warm")
+            if solver != "lbfgs":
+                argv += ["--solver", solver]
+            try:
+                subprocess.run(argv, env=env, timeout=3600, check=False)
+                with open(child_path) as f:
+                    rec = json.load(f)[0]
+            except Exception as e:                     # noqa: BLE001
+                rec = {"name": name, "success": False,
+                       "error": f"isolated run failed: "
+                                f"{type(e).__name__}: {e}"}
+        err = rec.get("error", "")
+        if rec.get("success") or not any(s in err for s in _TRANSIENT):
+            break
+        print(f"# {name}: transient backend fault, retrying "
+              f"({attempt + 1}/{retries}): {err[:100]}", flush=True)
+        time.sleep(10.0 * (attempt + 1))
+        rec["retried"] = attempt + 1
+    return rec
 
 
 def merge_result(path: str, rec: dict) -> None:

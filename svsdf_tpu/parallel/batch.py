@@ -351,7 +351,10 @@ def _harvest_topm(occ_pts, states, m):
 def _staged_solve(shape, cfg, stages, n, max_linesearch,
                   x0, head, tail, obstacles):
     """Warm-started stage loop shared by plan_batch_staged and
-    plan_batch_e2e. stages entries: (svs_cfg, iters[, ls[, ls_cand]])."""
+    plan_batch_e2e. stages entries:
+    (svs_cfg, iters[, ls[, ls_cand[, frozen_ls]]]) — frozen_ls=True
+    selects the frozen-oracle line search (one SVSDF oracle evaluation
+    per iteration; utils/lbfgs.py `frozen=`)."""
     prob = back_end.BackEndProblem(head, tail, obstacles)
     x = x0
     res = None

@@ -494,6 +494,16 @@ class Planner:
         tail = np.zeros((3, 3))
         head[0] = path[0]
         tail[0] = path[-1]
+        # Pin the CONTINUOUS endpoints: xy from the requested start /
+        # goal, yaw from the A* path's unwrapped endpoint yaw. The
+        # reference snaps both ends to A* cell centers
+        # (plan_manager.cpp:143-147) — up to res/2*sqrt(2) endpoint
+        # error (0.49 m measured on sdOrientedVesica at res 1.0); the
+        # requested pose lies in the same feasible cell, and the
+        # map-wide certificate + retry ladder below still guard the
+        # continuous sweep.
+        head[0, :2] = np.asarray(start, float)[:2]
+        tail[0, :2] = np.asarray(goal, float)[:2]
         times = np.full(n, self.config.inittime)
         ref_rots = np.stack([_rotz(w[2]) for w in q])
 

@@ -78,19 +78,31 @@ def shape_cache_key(shape) -> str | None:
     return key
 
 
+#: read-only SEED cache shipped in the repo: precomputed stencil /
+#: kernel memo entries for the 13 reference scenario shapes, so a cold
+#: machine skips the minutes-long one-shot rasterizations (round-2
+#: cold build_s reached 1295 s on sdPie; the artifacts are ~270 KB
+#: total). Misses fall through to compute-and-cache in cache_dir().
+SEED_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "memo_seed")
+
+
 def memoize_npz(key: str, fn, _dir: str | None = None) -> np.ndarray:
     """Return fn() as a host numpy array, memoized on disk under `key`.
 
     The key is hashed into a filename; corrupt/partial files fall back
-    to recompute (atomic rename on write)."""
+    to recompute (atomic rename on write). The committed read-only
+    seed cache (SEED_DIR) is consulted after the writable dir."""
     d = _dir or cache_dir()
-    path = os.path.join(d, hashlib.md5(key.encode()).hexdigest() + ".npz")
-    if os.path.exists(path):
-        try:
-            with np.load(path) as z:
-                return z["arr"]
-        except Exception:  # noqa: BLE001 — corrupt cache entry
-            pass
+    fname = hashlib.md5(key.encode()).hexdigest() + ".npz"
+    path = os.path.join(d, fname)
+    for p in (path, os.path.join(SEED_DIR, fname)):
+        if os.path.exists(p):
+            try:
+                with np.load(p) as z:
+                    return z["arr"]
+            except Exception:  # noqa: BLE001 — corrupt cache entry
+                pass
     arr = np.asarray(fn())
     # savez appends ".npz" to names without it — keep the suffix so the
     # temp filename is exactly what gets written

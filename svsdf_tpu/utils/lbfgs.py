@@ -303,7 +303,11 @@ def minimize_scheduled(fun: Callable, x0,
             t, _, _, _, _, x_trial, _ = search(
                 fro_fun, c.x, c.f, c.ga, d, p, t0=t0)
             f_t, g_t, fro_t = fun(x_trial, c.it)
-            ok = f_t < c.f
+            # Armijo gate on the TRUE cost (ADVICE r2): a bare strict
+            # decrease let arbitrarily tiny decreases count as accepted
+            # steps, so the max_nulls safeguard never tripped and
+            # termination leaned on the delta stall test alone.
+            ok = f_t <= c.f + p.f_dec_coeff * t * jnp.vdot(c.ga, d)
             x_new = jnp.where(ok, x_trial, c.x)
             f_new = jnp.where(ok, f_t, c.f)
             g_new = jnp.where(ok, g_t, c.g)

@@ -71,6 +71,14 @@ def test_golden_replay(name):
     assert res.certified, f"{name}: min_cert_sdf={res.min_cert_sdf}"
     got, want = float(res.final_cost), float(rec["final_cost"])
     assert abs(got - want) / want < _COST_RTOL, (name, got, want)
+    # endpoint pinning: the spline tail carries the REQUESTED goal xy
+    # (the reference snaps to the A* cell center, up to res/2*sqrt(2)
+    # off; VERDICT r2 #7). 1 cm tolerance >> the ~1e-5 eval noise.
+    from svsdf_tpu.utils import trajectory as trj
+    total = float(res.traj.total_duration)
+    pT = np.asarray(trj.pos(res.traj, total - 1e-6))[:2]
+    err = float(np.linalg.norm(pT - np.asarray(sc.goal)[:2]))
+    assert err < 0.01, (name, err)
 
 
 @pytest.mark.golden
