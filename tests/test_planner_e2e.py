@@ -44,11 +44,14 @@ def test_full_pipeline_synthetic():
     p0 = np.asarray(trj.pos(res.traj, 0.0))
     pT = np.asarray(trj.pos(res.traj,
                             float(res.traj.total_duration) - 1e-6))
-    # endpoints snap to grid cube centers (front_end_Astar.hpp:265-266)
-    np.testing.assert_allclose(p0[:2], res.astar_path[0][:2], atol=1e-4)
-    np.testing.assert_allclose(pT[:2], res.astar_path[-1][:2], atol=1e-4)
-    np.testing.assert_allclose(p0[:2], [3.5, 3.5], atol=0.51)
-    np.testing.assert_allclose(pT[:2], [20.5, 12.5], atol=0.51)
+    # endpoints carry the REQUESTED continuous poses (the reference
+    # snaps to A* cube centers, front_end_Astar.hpp:265-266; we pin
+    # the exact request — VERDICT r2 #7)
+    np.testing.assert_allclose(p0[:2], [3.5, 3.5], atol=1e-3)
+    np.testing.assert_allclose(pT[:2], [20.5, 12.5], atol=1e-3)
+    # ... and stay within the A* endpoint cells
+    np.testing.assert_allclose(p0[:2], res.astar_path[0][:2], atol=0.51)
+    np.testing.assert_allclose(pT[:2], res.astar_path[-1][:2], atol=0.51)
     # collision-free swept volume over the harvested obstacle set
     q = svsdf_query(pl.shape, res.traj,
                     jnp.asarray(res.obstacles[:, :2]), svs)
