@@ -45,7 +45,7 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
         rec["solver"] = solver
     t0 = time.time()
     svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
-                      gsip_coarse_n=64, gsip_refine_rounds=1,
+                      gsip_coarse_n=64, gsip_refine_rounds=1, gsip_topk=16,
                       refine_interp_n=512, gsip_fori=True)
     try:
         if name.startswith("synthetic_"):

@@ -241,7 +241,8 @@ def _run(shape, x0, problem, cfg, svs_cfg, n: int, solver: str,
     params = lbfgs.LBFGSParams(
         mem_size=cfg.mem_size, max_iterations=_MAX_ITER_BOUND,
         g_epsilon=max(cfg.g_epsilon, 1e-7), past=3,
-        delta=cfg.relCostTol, live=live)
+        delta=max(cfg.relCostTol, getattr(cfg, "back_rel_stall", 0.0)),
+        max_linesearch=getattr(cfg, "back_max_ls", 40), live=live)
     vg = jax.value_and_grad(cost, argnums=0)
     res = lbfgs.minimize_scheduled(lambda x, it: vg(x, it), x0, params,
                                    n_iters=total_iters,

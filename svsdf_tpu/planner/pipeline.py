@@ -335,6 +335,7 @@ class Planner:
         stopped = False
         n_attempts = 1 + max(certify_retries, 0)
         attempt = -1
+        attempt_log = []   # per-rung wall/outcome breakdown (timings)
         while attempt + 1 < n_attempts:
             attempt += 1
             if attempt > 0 and BUS.stop_requested:
@@ -360,6 +361,14 @@ class Planner:
                                 parlength if conservative else pl,
                                 conservative=conservative)
             n_attempts_run = attempt + 1
+            attempt_log.append({
+                "rung": ("conservative" if conservative else attempt),
+                **{k: v for k, v in (res.timings or {}).items()},
+                "success": bool(res.success),
+                "certified": bool(res.certified),
+                "min_cert_sdf": (round(res.min_cert_sdf, 3)
+                                 if math.isfinite(res.min_cert_sdf)
+                                 else None)})
             if not res.success:
                 # a failed front end must not gate the LATER rungs:
                 # the homotopy-block retry can kill A* (no alternative
@@ -383,7 +392,8 @@ class Planner:
                         break
                 continue
             if res.certified or math.isnan(res.min_cert_sdf):
-                return _stamp_attempts(res, n_attempts_run)
+                return _stamp_attempts(res, n_attempts_run,
+                                       attempt_log)
             if best is None or res.min_cert_sdf > best.min_cert_sdf:
                 best = res
             if attempt == n_attempts - 1:
@@ -431,12 +441,19 @@ class Planner:
                     # don't pay the factor² build for a lost cause
                     # (e.g. unreachable goal)
                 fine = self._get_fine_planner(factor)
+                t_fine = time.time()
                 res = fine.plan(start, goal, mid_iters=mid_iters,
                                 back_iters=back_iters,
                                 certify_rounds=certify_rounds,
                                 max_active_add=max_active_add,
                                 certify_retries=certify_retries,
                                 parlength=parlength)
+                attempt_log.append({
+                    "rung": f"fine_yaw_x{factor}",
+                    "wall_s": round(time.time() - t_fine, 2),
+                    "success": bool(res is not None and res.success),
+                    "certified": bool(res is not None
+                                      and res.certified)})
                 if res is not None and res.success and (
                         best is None
                         or not best.success
@@ -445,8 +462,8 @@ class Planner:
                             and not (res.min_cert_sdf
                                      <= best.min_cert_sdf))):
                     best = res
-        return _stamp_attempts(best, attempt + 1) if best is not None \
-            else best
+        return _stamp_attempts(best, attempt + 1, attempt_log) \
+            if best is not None else best
 
     def _get_fine_planner(self, factor: int) -> "Planner":
         """Lazily build (and cache) the fine-yaw retry planner: same
@@ -653,8 +670,12 @@ class Planner:
         return x
 
 
-def _stamp_attempts(res: PlanResult, n: int) -> PlanResult:
-    return res._replace(timings={**(res.timings or {}), "attempts": n})
+def _stamp_attempts(res: PlanResult, n: int,
+                    attempt_log: list | None = None) -> PlanResult:
+    tm = {**(res.timings or {}), "attempts": n}
+    if attempt_log and len(attempt_log) > 1:
+        tm["attempt_log"] = attempt_log
+    return res._replace(timings=tm)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4))

@@ -75,6 +75,18 @@ class PlannerConfig:
     past: int = 64
     min_step: float = 1.0e-32
     g_epsilon: float = 0.0
+    #: single-plan back-end solver economy (fields the reference lacks;
+    #: its LMBM terminates on its own bundle criteria). The shipped
+    #: YAMLs set relCostTol=1e-20, which makes the L-BFGS stall test
+    #: vacuous — every solve then burns its full iteration schedule
+    #: (measured: star warm replan 140 s, 138 s of it in 4 full-budget
+    #: back-end dispatches). back_rel_stall is the effective relative-
+    #: decrease stall for back-end solves (delta = max(relCostTol,
+    #: back_rel_stall)); back_max_ls caps the Lewis–Overton bisection
+    #: (the batched-bench quality ladder: ls=4 within ~2-5% of ls=16
+    #: at a fraction of the evals).
+    back_rel_stall: float = 1.0e-6
+    back_max_ls: int = 8
 
     # topics kept for config-file compatibility (unused here)
     meshTopic: str = "/polyve/mesh"

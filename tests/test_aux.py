@@ -112,3 +112,36 @@ def test_scenario_results_merge_preserves_other_rows(tmp_path):
     mod.merge_result(path2, {"name": "star", "success": True})
     with open(path2) as f:
         assert [r["name"] for r in json.load(f)] == ["star"]
+
+
+def test_memoize_npz_seed_fallback(tmp_path, monkeypatch):
+    """memoize_npz consults the committed read-only seed cache after
+    the writable dir (utils/cache.py SEED_DIR): a cold machine reuses
+    shipped stencil precomputes instead of recomputing for minutes."""
+    import hashlib
+
+    import numpy as np
+
+    from svsdf_tpu.utils import cache
+
+    writable = tmp_path / "writable"
+    seed = tmp_path / "seed"
+    writable.mkdir()
+    seed.mkdir()
+    monkeypatch.setenv("SVSDF_CACHE_DIR", str(writable))
+    monkeypatch.setattr(cache, "SEED_DIR", str(seed))
+
+    key = "unit-test-key"
+    fname = hashlib.md5(key.encode()).hexdigest() + ".npz"
+    np.savez_compressed(seed / fname, arr=np.asarray([1, 2, 3]))
+
+    def boom():
+        raise AssertionError("seed hit must not recompute")
+
+    np.testing.assert_array_equal(cache.memoize_npz(key, boom),
+                                  [1, 2, 3])
+    # a miss computes and lands in the WRITABLE dir, not the seed
+    out = cache.memoize_npz("other-key", lambda: np.ones(2))
+    np.testing.assert_array_equal(out, [1.0, 1.0])
+    assert len(list(writable.glob("*.npz"))) == 1
+    assert len(list(seed.glob("*.npz"))) == 1

@@ -63,7 +63,7 @@ def test_golden_replay(name):
     rec = _rows()[name]
     sc = fixtures.load_scenario(name)
     svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
-                      gsip_coarse_n=64, gsip_refine_rounds=1,
+                      gsip_coarse_n=64, gsip_refine_rounds=1, gsip_topk=16,
                       refine_interp_n=512, gsip_fori=True)
     planner = Planner(sc.config, sc.map_points, svs_cfg=svs)
     res = planner.plan(sc.start, sc.goal)
@@ -97,7 +97,7 @@ def test_horseshoe_certifies_under_start_goal_perturbation(dx, dy):
 
     sc = fixtures.load_scenario("sdHorseshoe")
     svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
-                      gsip_coarse_n=64, gsip_refine_rounds=1,
+                      gsip_coarse_n=64, gsip_refine_rounds=1, gsip_topk=16,
                       refine_interp_n=512, gsip_fori=True)
     planner = Planner(sc.config, sc.map_points, svs_cfg=svs)
     start = np.asarray(sc.start, np.float64).copy()
