@@ -108,10 +108,29 @@ def plan_batch_staged(shape: Shape2D, x0_b, problems_b,
                                problems_b.obstacles)
 
 
-def default_stages(total_iters: int = 50, ls: int = 2,
+def default_stages(total_iters: int = 50, ls: int = 4,
+                   frozen_ls: bool = True,
                    scan_dtype: str | None = "bfloat16") -> tuple:
     """The v5e-tuned two-stage schedule: 80% outside-only SVSDF
-    (coarse_n=96, one refine round), 20% full GSIP polish.
+    (coarse_n=96, one refine round), 20% full GSIP polish — with the
+    FROZEN-ORACLE line search (one SVSDF oracle evaluation per
+    iteration; trials re-price only the carried linearization).
+
+    Frozen-oracle adoption (round-3 A/B, batch 256, 50 iters, hifi-
+    scored median cost — same-session so directly comparable):
+
+      baseline seq ls=2      892.4 plans/s   cost 2782.9
+      frozen   ls=4          953.0 plans/s   cost 2790.3   <- default
+      frozen   ls=8          694.2 plans/s   cost 2779.5
+      frozen   ls=16         450.7 plans/s   cost 2777.6
+
+    frozen ls=4 beats the sequential search by +6.8% plans/s at equal
+    cost (+0.27%, inside the different-local-minima noise band);
+    deeper frozen searches trade throughput for ~0.1-0.4% cost — the
+    LMBM-style evaluation economy (one true eval per iteration,
+    back_end_optimizer.hpp:344-430) pays off once the line search is
+    effectively free. Pass frozen_ls=False for the round-2 sequential
+    behavior.
 
     Measured operating points on a real v5e chip (batch 256, same
     128-dim problem set, high-fidelity final cost median / plans/s):
@@ -156,7 +175,8 @@ def default_stages(total_iters: int = 50, ls: int = 2,
                          gsip_refine_rounds=1, gsip_topk=8,
                          scan_dtype=scan_dtype)
     k = max(total_iters // 5, 5)
-    return ((fast, total_iters - k, ls), (polish, k, ls))
+    return ((fast, total_iters - k, ls, 0, frozen_ls),
+            (polish, k, ls, 0, frozen_ls))
 
 
 def default_stages_lowlat(total_iters: int = 50,

@@ -273,7 +273,9 @@ def _run_lmbm(shape, x0, problem, cfg, svs_cfg, n: int, max_iters: int,
             jax.value_and_grad(cost), x,
             lmbm.LMBMParams(mem_size=cfg.mem_size,
                             max_iterations=iters,
-                            delta=cfg.relCostTol))
+                            delta=max(cfg.relCostTol,
+                                      getattr(cfg, "back_rel_stall",
+                                              0.0))))
         x = res.x
         iters_done = iters_done + res.n_iters
     times = forward_t(x[:n])
