@@ -24,3 +24,19 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# TPU matmul precision: JAX's DEFAULT lowers f32 dot/conv operands to
+# bfloat16 on the MXU (8-bit mantissa). That silently corrupted every
+# exactness-critical contraction in the planner — measured on a v5e
+# chip, solved f32 splines missed their own pinned endpoints by
+# 0.33-1.99 m. Rather than a global jax_default_matmul_precision
+# override (measured -41% bench throughput), the exactness-critical
+# contractions request float32 precision EXPLICITLY at their call
+# sites: the MINCO band assembly + cyclic-reduction block solves
+# (ops/minco.py, ops/block_cr.py), trajectory-evaluation einsums
+# (utils/trajectory.py), and the occupancy-count feasibility
+# convolutions (ops/kernels.py — integer counts above 256 are not
+# bf16-exact). The hot SVSDF scan path is elementwise VPU work with
+# its own explicit bf16 opt-in (SVSDFConfig.scan_dtype) and runs at
+# hardware speed either way. Endpoint error after the targeted fixes:
+# ~1.5e-6 m (same as the global override), at full bench throughput.

@@ -44,12 +44,32 @@ the scan solver; full-cost iteration 3.8 -> ~2.3 ms.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from svsdf_tpu.ops.banded import LBW, NDIAG
 
 BS = 6   # block size (quintic pieces: 6 coefficients)
+
+#: refinement rounds (env knob for A/B)
+_REFINE = int(os.environ.get("SVSDF_CR_REFINE", "1"))
+
+
+def _bmm(a, b):
+    """Batched exact-f32 block product on the VPU.
+
+    The TPU MXU's DEFAULT precision rounds f32 operands to bfloat16
+    (8-bit mantissa), which corrupted the CR Schur complements badly
+    enough that solved splines missed their own boundary conditions by
+    ~0.3 m (round-2 records); requesting float32 MXU precision fixed
+    the numerics but cost 40% of bench throughput (6 decomposed
+    passes over padding-dominated 6x6 tiles). These blocks are far too
+    small for the systolic array — a broadcast multiply + sum runs on
+    the VPU at native f32: exact AND fast. a (..., i, k), b (..., k, j).
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
 
 #: pivot clamp for the unpivoted 6x6 elimination (post-equilibration
 #: entries are O(1), so 1e-30 only guards exact zeros)
@@ -139,17 +159,17 @@ def block_tridiag_solve(A, B, C, d):
     SA_dn = jnp.concatenate([jnp.zeros((1, BS, BS), SA.dtype), SA[:-1]])
     Sd_dn = jnp.concatenate([jnp.zeros((1, BS, dd), Sd.dtype), Sd[:-1]])
 
-    Bp = Be - Ae @ SC_dn - Ce @ SA
-    Ap = -(Ae @ SA_dn)
-    Cp = -(Ce @ SC)
-    dp = de - Ae @ Sd_dn - Ce @ Sd
+    Bp = Be - _bmm(Ae, SC_dn) - _bmm(Ce, SA)
+    Ap = -_bmm(Ae, SA_dn)
+    Cp = -_bmm(Ce, SC)
+    dp = de - _bmm(Ae, Sd_dn) - _bmm(Ce, Sd)
     Ap = Ap.at[0].set(0.0)
     Cp = Cp.at[-1].set(0.0)
 
     xe = block_tridiag_solve(Ap, Bp, Cp, dp)
 
     xe_up = jnp.concatenate([xe[1:], jnp.zeros((1, BS, dd), xe.dtype)])
-    xo = Sd - SA @ xe - SC @ xe_up
+    xo = Sd - _bmm(SA, xe) - _bmm(SC, xe_up)
 
     x = jnp.zeros((n, BS, dd), xe.dtype)
     x = x.at[0::2].set(xe)
@@ -234,26 +254,28 @@ def _cr_core(bands, rhs, refine_rounds, transpose):
 @jax.custom_vjp
 def banded_solve_cr(bands, rhs):
     """Solve M x = rhs, M in (6N, 13) band storage, by equilibrated
-    block cyclic reduction + 1 refinement round. Drop-in replacement
-    for ops/banded.banded_solve with O(log N) sequential depth;
-    gradients to bands and rhs via the transposed CR solve."""
-    return _cr_core(bands, rhs, 1, False)
+    block cyclic reduction + refinement (SVSDF_CR_REFINE rounds; the
+    block algebra runs exact-f32 on the VPU, see _bmm). Drop-in
+    replacement for ops/banded.banded_solve with O(log N) sequential
+    depth; gradients to bands and rhs via the transposed CR solve."""
+    return _cr_core(bands, rhs, _REFINE, False)
 
 
 def _cr_fwd(bands, rhs):
-    x = _cr_core(bands, rhs, 1, False)
+    x = _cr_core(bands, rhs, _REFINE, False)
     return x, (bands, x)
 
 
 def _cr_bwd(res, x_bar):
     bands, x = res
     n = x.shape[0]
-    rhs_bar = _cr_core(bands, x_bar, 1, True)
+    rhs_bar = _cr_core(bands, x_bar, _REFINE, True)
     i = jnp.arange(n)[:, None]
     d = jnp.arange(NDIAG)[None, :]
     j = i + d - LBW
     valid = (j >= 0) & (j < n)
-    outer = rhs_bar @ x.T                            # (n, n), tiny
+    outer = jnp.matmul(rhs_bar, x.T,
+                       precision="float32")          # (n, n), tiny
     bands_bar = jnp.where(valid, -outer[i, jnp.clip(j, 0, n - 1)], 0.0)
     return bands_bar, rhs_bar
 

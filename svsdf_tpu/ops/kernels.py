@@ -119,10 +119,15 @@ def _conv_occ(occ2d, filters):
     side = (ks - 1) // 2
     x = occ2d.astype(jnp.float32)[None, None]            # (1,1,X,Y)
     f = filters.astype(jnp.float32)[:, None]             # (O,1,ks,ks)
+    # occupancy-count exactness: the TPU MXU's default precision
+    # rounds operands to bf16, whose integers are exact only to 256 —
+    # kernel footprints reach kernel_size^2 > 256 cells, and a +-1
+    # count error flips feasibility
     out = jax.lax.conv_general_dilated(
         x, f, window_strides=(1, 1),
         padding=[(side, side), (side, side)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
     return out[0]
 
 

@@ -154,7 +154,10 @@ def build_bands(times, head, tail, waypoints):
 
     tp = jnp.stack([times ** k for k in range(6)], axis=0)  # (6, N)
     vals = jnp.asarray(coef, dtype=dtype) * tp[power, piece]
-    bands = (jnp.asarray(s, dtype=dtype) @ vals).reshape(6 * n, NDIAG)
+    # the 0/1 scatter matmul must NOT round vals to bf16 (TPU default
+    # matmul precision) — these are the system entries themselves
+    bands = jnp.matmul(jnp.asarray(s, dtype=dtype), vals,
+                       precision="float32").reshape(6 * n, NDIAG)
 
     rhs = jnp.zeros((6 * n, d), dtype=dtype)
     rhs = rhs.at[0:3, :].set(head)
@@ -171,13 +174,156 @@ def build_bands(times, head, tail, waypoints):
 SOLVER = "cr"
 
 
+@functools.lru_cache(maxsize=None)
+def _index_plan_norm(n: int):
+    """Scatter plan for the PER-PIECE NORMALIZED-TIME system.
+
+    Each piece is parameterized on u = s/T_i: p_i(u) = sum_k c^_k u^k.
+    A derivative-order-o continuity row between pieces i and i+1,
+    multiplied through by T_{i+1}^o, has piece-i entries
+    dcoef(k, o) * rho_i^o with rho_i = T_{i+1}/T_i and a CONSTANT
+    -dcoef(o, o) entry on the i+1 side — so the matrix entries scale
+    as duration RATIOS (<= ~rho^4), not absolute durations (T^5 in the
+    raw parameterization, minco.hpp:433-509). In f32 the raw system's
+    condition (~(T^5)^2 spread) left the solved trajectory missing its
+    own boundary conditions by up to 0.36 m on scenario trajectories;
+    the normalized system holds them to ~1e-4 m.
+
+    Entry value = coef * rho_piece^power (power = 0 for constant
+    entries; rho_{n-1} := 1, unused).
+    """
+    rows, cols, piece, power, coef = [], [], [], [], []
+
+    def add(r, c, i, k, a):
+        rows.append(r); cols.append(c); piece.append(i)
+        power.append(k); coef.append(a)
+
+    def dcoef(k, o):
+        a = 1.0
+        for j in range(o):
+            a *= (k - j)
+        return a
+
+    # head conditions on normalized derivatives (rhs scaled by T_0^o)
+    add(0, 0, 0, 0, 1.0)
+    add(1, 1, 0, 0, 1.0)
+    add(2, 2, 0, 0, 2.0)
+
+    for i in range(n - 1):
+        # jerk continuity (o=3), x T_{i+1}^3
+        r = 6 * i + 3
+        for k in range(3, 6):
+            add(r, 6 * i + k, i, 3, dcoef(k, 3))
+        add(r, 6 * i + 9, i, 0, -6.0)
+        # snap continuity (o=4), x T_{i+1}^4
+        r = 6 * i + 4
+        for k in range(4, 6):
+            add(r, 6 * i + k, i, 4, dcoef(k, 4))
+        add(r, 6 * i + 10, i, 0, -24.0)
+        # waypoint position (u=1)
+        r = 6 * i + 5
+        for k in range(6):
+            add(r, 6 * i + k, i, 0, 1.0)
+        # position continuity
+        r = 6 * i + 6
+        for k in range(6):
+            add(r, 6 * i + k, i, 0, 1.0)
+        add(r, 6 * i + 6, i, 0, -1.0)
+        # velocity continuity (o=1), x T_{i+1}
+        r = 6 * i + 7
+        for k in range(1, 6):
+            add(r, 6 * i + k, i, 1, dcoef(k, 1))
+        add(r, 6 * i + 7, i, 0, -1.0)
+        # acceleration continuity (o=2), x T_{i+1}^2
+        r = 6 * i + 8
+        for k in range(2, 6):
+            add(r, 6 * i + k, i, 2, dcoef(k, 2))
+        add(r, 6 * i + 8, i, 0, -2.0)
+
+    # tail conditions at u=1 (rhs scaled by T_{n-1}^o)
+    i = n - 1
+    for o, r in ((0, 6 * n - 3), (1, 6 * n - 2), (2, 6 * n - 1)):
+        for k in range(o, 6):
+            add(r, 6 * i + k, i, 0, dcoef(k, o))
+
+    return (np.asarray(rows), np.asarray(cols), np.asarray(piece),
+            np.asarray(power), np.asarray(coef, dtype=np.float64))
+
+
+@functools.lru_cache(maxsize=None)
+def _band_scatter_matrix_norm(n: int):
+    """Band-storage scatter for the normalized plan (same machinery as
+    _band_scatter_matrix; the sparsity pattern is identical)."""
+    from svsdf_tpu.ops.banded import LBW, NDIAG
+
+    rows, cols, piece, power, coef = _index_plan_norm(n)
+    diag = cols - rows + LBW
+    assert (diag >= 0).all() and (diag < NDIAG).all()
+    e = len(rows)
+    s = np.zeros((6 * n * NDIAG, e), np.float64)
+    flat = rows * NDIAG + diag
+    for k in range(e):
+        s[flat[k], k] += 1.0
+    return s, np.asarray(piece), np.asarray(power), \
+        np.asarray(coef, np.float64)
+
+
+def build_bands_norm(times, head, tail, waypoints):
+    """Assemble the normalized-time system in banded storage.
+    Returns bands (6N, 13), rhs (6N, D); the solution is the
+    NORMALIZED coefficient vector (convert via c_k = c^_k / T_i^k)."""
+    from svsdf_tpu.ops.banded import NDIAG
+
+    n = times.shape[0]
+    d = head.shape[-1]
+    dtype = times.dtype
+    s, piece, power, coef = _band_scatter_matrix_norm(int(n))
+
+    rho = jnp.concatenate([times[1:] / times[:-1],
+                           jnp.ones((1,), dtype)])          # (N,)
+    rp = jnp.stack([rho ** k for k in range(5)], axis=0)    # (5, N)
+    vals = jnp.asarray(coef, dtype=dtype) * rp[power, piece]
+    bands = jnp.matmul(jnp.asarray(s, dtype=dtype), vals,
+                       precision="float32").reshape(6 * n, NDIAG)
+
+    t0 = times[0]
+    tn = times[-1]
+    scale_h = jnp.stack([jnp.ones((), dtype), t0, t0 * t0])
+    scale_t = jnp.stack([jnp.ones((), dtype), tn, tn * tn])
+    rhs = jnp.zeros((6 * n, d), dtype=dtype)
+    rhs = rhs.at[0:3, :].set(head * scale_h[:, None])
+    if n > 1:
+        rhs = rhs.at[6 * np.arange(n - 1) + 5, :].set(waypoints)
+    rhs = rhs.at[6 * n - 3:, :].set(tail * scale_t[:, None])
+    return bands, rhs
+
+
 def solve(times, head, tail, waypoints) -> Trajectory:
     """Waypoints + times -> quintic Trajectory (setParameters +
     getTrajectory, minco.hpp:433-530). Fully differentiable. The
     solve is block cyclic reduction by default (see SOLVER): inside
     the back-end L-BFGS loop the O(6N)-step banded scan measured
     ~60% of every optimizer iteration; CR cuts the full-cost
-    iteration ~3.8 -> ~2.3 ms (batch 256, v5e)."""
+    iteration ~3.8 -> ~2.3 ms (batch 256, v5e). The system is
+    assembled in per-piece normalized time (see _index_plan_norm) so
+    the f32 solve holds its boundary conditions."""
+    n = times.shape[0]
+    bands, rhs = build_bands_norm(times, head, tail, waypoints)
+    if SOLVER == "cr":
+        from svsdf_tpu.ops.block_cr import banded_solve_cr
+        ch = banded_solve_cr(bands, rhs)
+    else:
+        from svsdf_tpu.ops.banded import banded_solve
+        ch = banded_solve(bands, rhs)
+    ch = ch.reshape(n, 6, -1)
+    # normalized -> physical ascending-power coefficients
+    tinv = jnp.stack([times ** (-k) for k in range(6)], axis=1)  # (N, 6)
+    return Trajectory(coeffs=ch * tinv[:, :, None], durations=times)
+
+
+def solve_raw(times, head, tail, waypoints) -> Trajectory:
+    """Raw (unnormalized) banded solve — the round-2 hot path, kept as
+    an oracle cross-check for the normalized assembly."""
     n = times.shape[0]
     bands, rhs = build_bands(times, head, tail, waypoints)
     if SOLVER == "cr":

@@ -92,7 +92,8 @@ def eval_at_gather(traj: Trajectory, t, order: int = 0):
     idx, s = locate_piece(traj.durations, t)
     c = jnp.take(traj.coeffs, idx, axis=0)          # (..., nc, D)
     beta = _basis(s, order, traj.coeffs.shape[1])    # (..., nc)
-    return jnp.einsum("...k,...kd->...d", beta, c)
+    return jnp.einsum("...k,...kd->...d", beta, c,
+                      precision="float32")
 
 
 def eval_at(traj: Trajectory, t, order: int = 0):
@@ -120,8 +121,13 @@ def eval_at(traj: Trajectory, t, order: int = 0):
     s = t[..., None] - starts                             # (..., N)
     s = jnp.clip(s, 0.0, jax.lax.stop_gradient(traj.durations))
     beta = _basis(s, order, traj.coeffs.shape[1])         # (..., N, nc)
-    vals = jnp.einsum("...nk,nkd->...nd", beta, traj.coeffs)
-    return jnp.einsum("...n,...nd->...d", one_hot, vals)
+    # float32 contraction: the default TPU matmul precision rounds the
+    # coefficients to bf16 (~0.4% relative), a cm-scale pose error
+    # that would defeat the endpoint pinning and fuzz certificates
+    vals = jnp.einsum("...nk,nkd->...nd", beta, traj.coeffs,
+                      precision="float32")
+    return jnp.einsum("...n,...nd->...d", one_hot, vals,
+                      precision="float32")
 
 
 def pos(traj, t):

@@ -229,3 +229,59 @@ def test_max_rate_exact():
     # acceleration: a = 4 - 6t, endpoint max |a(0)| = 4
     a = trj.max_acc_rate(traj, dims=(0,))
     np.testing.assert_allclose(a, 4.0, rtol=1e-9)
+
+
+def test_normalized_solve_matches_dense_oracle():
+    """The normalized-time assembly (ops/minco.py _index_plan_norm)
+    must reproduce the dense x64 oracle exactly — same spline, just a
+    better-conditioned linear system."""
+    import numpy as np
+    import jax.numpy as jnp
+    from svsdf_tpu.ops import minco
+
+    rng = np.random.default_rng(5)
+    n = 12
+    times = jnp.asarray(rng.uniform(0.8, 5.0, n))
+    head = jnp.asarray(rng.normal(0, 1, (3, 3)))
+    tail = jnp.asarray(rng.normal(0, 1, (3, 3)))
+    wps = jnp.asarray(rng.normal(0, 5, (n - 1, 3)))
+    got = minco.solve(times, head, tail, wps)
+    want = minco.solve_dense(times, head, tail, wps)
+    np.testing.assert_allclose(np.asarray(got.coeffs),
+                               np.asarray(want.coeffs),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_normalized_solve_f32_holds_boundary_conditions():
+    """Round-3 regression: the raw f32 quintic system's conditioning
+    (~(T^5)^2 entry spread) left solved trajectories missing their own
+    pinned endpoints by up to 0.36 m on TPU scenario runs. The
+    normalized-time solve must hold the tail to ~1e-3 m in f32."""
+    import numpy as np
+    import jax.numpy as jnp
+    from svsdf_tpu.ops import minco
+    from svsdf_tpu.utils import trajectory as trj
+
+    rng = np.random.default_rng(7)
+    n = 24
+    times = jnp.asarray(rng.uniform(1.0, 4.5, n).astype(np.float32))
+    head = jnp.zeros((3, 3), jnp.float32).at[0].set(
+        jnp.asarray([25.5, 2.4, 0.0]))
+    tail = jnp.zeros((3, 3), jnp.float32).at[0].set(
+        jnp.asarray([6.3, 63.9, 2.4]))
+    wps = jnp.asarray(
+        (np.linspace([25.5, 2.4, 0], [6.3, 63.9, 2.4], n + 1)[1:-1]
+         + rng.normal(0, 0.5, (n - 1, 3))).astype(np.float32))
+    traj = minco.solve(times, head, tail, wps)
+    total = float(np.asarray(times, np.float64).sum())
+    p0 = np.asarray(trj.pos(traj, jnp.float32(0.0)))
+    pT = np.asarray(trj.pos(traj, jnp.float32(total - 1e-5)))
+    assert np.linalg.norm(p0[:2] - [25.5, 2.4]) < 1e-3, p0
+    assert np.linalg.norm(pT[:2] - [6.3, 63.9]) < 1e-2, pT
+    # the raw assembly shows the failure this guards against: its f32
+    # endpoint error on the same system is orders of magnitude worse
+    raw = minco.solve_raw(times, head, tail, wps)
+    pT_raw = np.asarray(trj.pos(raw, jnp.float32(total - 1e-5)))
+    err_raw = np.linalg.norm(pT_raw[:2] - [6.3, 63.9])
+    err_norm = np.linalg.norm(pT[:2] - [6.3, 63.9])
+    assert err_norm <= err_raw + 1e-6, (err_norm, err_raw)
