@@ -109,13 +109,46 @@ def bench_plans(n_pieces=8, n_obs=64, iters=50):
                 float(out.cost.sum())
                 times.append(time.perf_counter() - t0)
             dt = float(np.median(times))
-            return {"plans_per_s": batch / dt, "plan_batch_wall_s": dt,
-                    "plan_batch_size": batch}
+            res = {"plans_per_s": batch / dt, "plan_batch_wall_s": dt,
+                   "plan_batch_size": batch}
+            try:
+                res.update(_utilization(
+                    lambda xx: pbatch.plan_batch_staged(
+                        shape, xx, probs, cfg, stages, n_pieces).cost,
+                    x0, dt))
+            except Exception as e:                 # noqa: BLE001
+                print(f"# utilization skipped: {str(e)[:100]}",
+                      file=sys.stderr)
+            return res
         except Exception as e:                     # noqa: BLE001
             print(f"# batch={batch} failed: {str(e)[:120]}",
                   file=sys.stderr)
     return {"plans_per_s": float("nan"),
             "plan_batch_wall_s": float("nan"), "plan_batch_size": 0}
+
+
+def _utilization(fn, args0, wall_s):
+    """Achieved FLOP/s + roofline placement of the primary executable:
+    XLA's compiled cost analysis (FLOPs, bytes) over the honestly-
+    measured wall clock, against rough v5e peaks (VPU-bound elementwise
+    workload — the SVSDF scans have no large matmuls; see
+    scripts/roofline.py for the full per-workload report)."""
+    import jax
+    c = jax.jit(fn).lower(args0).compile().cost_analysis()
+    if isinstance(c, (list, tuple)):
+        c = c[0]
+    flops = float(c.get("flops", float("nan")))
+    bytes_ = float(c.get("bytes accessed", float("nan")))
+    vpu_peak_gflops = 1000.0      # ~1 TFLOP/s f32 VPU (v5e, rough)
+    hbm_peak_gbps = 819.0
+    return {
+        "achieved_gflops": round(flops / wall_s / 1e9, 1),
+        "pct_vpu_peak": round(100 * flops / wall_s / 1e9
+                              / vpu_peak_gflops, 1),
+        "pct_hbm_peak": round(100 * bytes_ / wall_s / 1e9
+                              / hbm_peak_gbps, 1),
+        "arithmetic_intensity": round(flops / max(bytes_, 1.0), 2),
+    }
 
 
 def bench_grid_queries(grid=256, coarse_n=256):
@@ -399,6 +432,10 @@ def _headline(res: dict, partial: bool) -> str:
             "plan_batch_wall_s": r(plans.get("plan_batch_wall_s", nan),
                                    3),
             "plan_batch_size": plans.get("plan_batch_size"),
+            "achieved_gflops": plans.get("achieved_gflops"),
+            "pct_vpu_peak": plans.get("pct_vpu_peak"),
+            "pct_hbm_peak": plans.get("pct_hbm_peak"),
+            "arithmetic_intensity": plans.get("arithmetic_intensity"),
             "backend": plans.get("backend"),
             "device": plans.get("device"),
             "partial": partial,

@@ -41,7 +41,13 @@ def _problem(batch, n_obs, seed=0):
             jnp.asarray(x0))
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (8, 1)])
+@pytest.mark.parametrize("mesh_shape", [
+    (2, 4),
+    # the other mesh layouts exercise the same psum/out_spec logic at
+    # ~70 s each on the 2-core CI host — slow-lane only
+    pytest.param((4, 2), marks=pytest.mark.slow),
+    pytest.param((8, 1), marks=pytest.mark.slow),
+])
 def test_sharded_value_and_grad_matches_unsharded(mesh_shape):
     n_scn, n_obs_ax = mesh_shape
     if len(jax.devices()) < n_scn * n_obs_ax:
