@@ -419,7 +419,13 @@ def _headline(res: dict, partial: bool) -> str:
         "metric": "batched_svsdf_plans_per_s_per_chip",
         "value": r(v),
         "unit": "plans/s",
+        # the reference publishes no benchmark numbers (BASELINE.md);
+        # vs_baseline is measured against the self-set north star of
+        # 1000 plans/s on a v5e-16, i.e. 62.5 plans/s/chip
         "vs_baseline": r(v / target_per_chip, 3),
+        "baseline_definition": "north-star 62.5 plans/s/chip "
+                               "(1000 plans/s on v5e-16); reference "
+                               "publishes no numbers",
         "extra": {
             "e2e_plans_per_s": r(e2e.get("e2e_per_s", nan)),
             "e2e_frontend_success_rate": r(e2e.get("e2e_ok", nan), 3),

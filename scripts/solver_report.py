@@ -69,10 +69,20 @@ def main():
         f"{n_lm_better}. Certified: lbfgs {certs_lb}/{len(rows)}, "
         f"lmbm {certs_lm}/{len(rows)}.\n")
     out.append(
-        "**Default**: the planner default remains `solver=\"lbfgs\"`"
-        " unless this table shows LMBM winning on cost at equal"
-        " certificates — regenerate with `python"
-        " scripts/solver_report.py` after re-running either suite.\n")
+        "Caveat: `final_cost` is the solver's objective at the"
+        " WINNING refine round, whose penalty weight escalates 4x per"
+        " certify-refine round — a large value (e.g. star/sdPie under"
+        " lbfgs) means that run needed escalation rounds, not that"
+        " the trajectory is worse; compare `min_cert_sdf` margins and"
+        " certification for solution quality.\n")
+    out.append(
+        "**Default**: `solver=\"lbfgs\"` — equal 13/13 certification"
+        " at comparable margins and ~2x faster warm replans (the"
+        " bundle method pays extra serious/null-step bookkeeping per"
+        " iteration). LMBM remains the reference-parity option"
+        " (`Planner(..., solver=\"lmbm\")`); regenerate this table"
+        " with `python scripts/solver_report.py` after re-running"
+        " either suite.\n")
     path = os.path.join(_ROOT, "docs", "SOLVERS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))
