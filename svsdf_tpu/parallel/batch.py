@@ -325,6 +325,11 @@ class E2EBatchResult(NamedTuple):
     head: jnp.ndarray         # (B, 3, 3)
     tail: jnp.ndarray         # (B, 3, 3)
     obstacles: jnp.ndarray    # (B, M, 2)
+    #: solved trajectories, returned FROM the jitted program: an eager
+    #: host-side re-solve costs dozens of tiny dispatches — ~1.3 s of
+    #: a 1.4 s single replan over the tunneled backend
+    coeffs: jnp.ndarray       # (B, N, 6, 3)
+    durations: jnp.ndarray    # (B, N)
 
 
 def _resample_path(path_ij, yaw_bins, length, n, resolution, xy_min,
@@ -457,11 +462,12 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
                                      obstacles)
         cert = svsdf_query(shape, traj, obstacles, stages[-1][0],
                            with_inside=False).sdf.min()
-        return x, res.f, cert
+        return x, res.f, cert, traj.coeffs, traj.durations
 
-    xs, costs, certs = jax.vmap(solve_one)(x0_b, head_b, tail_b,
-                                           obs_b)
-    return E2EBatchResult(ok, xs, costs, certs, head_b, tail_b, obs_b)
+    xs, costs, certs, co, du = jax.vmap(solve_one)(x0_b, head_b,
+                                                   tail_b, obs_b)
+    return E2EBatchResult(ok, xs, costs, certs, head_b, tail_b, obs_b,
+                          co, du)
 
 
 def sharded_plan_batch_e2e(shape: Shape2D, mesh: Mesh,
@@ -480,7 +486,8 @@ def sharded_plan_batch_e2e(shape: Shape2D, mesh: Mesh,
                               xy_min, max_linesearch)
 
     spec_b = E2EBatchResult(P("scn"), P("scn"), P("scn"), P("scn"),
-                            P("scn"), P("scn"), P("scn"))
+                            P("scn"), P("scn"), P("scn"), P("scn"),
+                            P("scn"))
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P("scn"), P("scn")),

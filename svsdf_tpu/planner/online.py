@@ -27,12 +27,10 @@ import jax.numpy as jnp
 
 from svsdf_tpu.models import shapes
 from svsdf_tpu.ops import kernels as kops
-from svsdf_tpu.ops import minco
 from svsdf_tpu.parallel import batch as pbatch
 from svsdf_tpu.utils import trajectory as trj
 from svsdf_tpu.utils.config import PlannerConfig
 from svsdf_tpu.utils.gridmap import GridMap
-from svsdf_tpu.utils.transforms import forward_t
 
 
 class ReplanResult(NamedTuple):
@@ -96,11 +94,14 @@ class OnlineReplanner:
             self.shape, self.feas, self.occ_pts, s, g, self.config,
             self.stages, self.n, self.n_obs, self.grid.resolution,
             self.xy_min)
-        x = out.x[0]
-        times = forward_t(x[:self.n])
-        wps = x[self.n:].reshape(self.n - 1, 3)
-        traj = minco.solve(times, out.head[0], out.tail[0], wps)
-        return ReplanResult(bool(out.front_ok[0]), traj,
-                            float(out.cost[0]),
-                            float(out.cert_min[0]),
-                            np.asarray(out.obstacles[0]))
+        # ONE bulk host readback: the trajectory comes out of the
+        # jitted program (an eager host-side minco re-solve here cost
+        # ~1.3 s of tiny tunneled dispatches), and scalar reads are
+        # sliced from numpy, not per-field device fetches
+        host = jax.device_get((out.front_ok[0], out.cost[0],
+                               out.cert_min[0], out.obstacles[0],
+                               out.coeffs[0], out.durations[0]))
+        ok, cost, cert, obstacles, coeffs, durations = host
+        traj = trj.Trajectory(coeffs, durations)
+        return ReplanResult(bool(ok), traj, float(cost), float(cert),
+                            np.asarray(obstacles))
