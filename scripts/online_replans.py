@@ -31,10 +31,18 @@ def run_one(name: str, reps: int = 15) -> dict:
     from svsdf_tpu.planner.online import OnlineReplanner
     from svsdf_tpu.utils import fixtures
 
+    from svsdf_tpu.parallel import batch as pbatch
+
     rec = {"name": name}
     t0 = time.time()
     sc = fixtures.load_scenario(name)
-    rp = OnlineReplanner(sc.config, sc.map_points)
+    # real-map sizing (measured on sdHeart): n=12/M=160 with the
+    # 120-iteration throughput schedule lands ~109 ms p50 at the best
+    # observed certificate; the tiny bench defaults (8/48) were sized
+    # for the synthetic problem
+    rp = OnlineReplanner(sc.config, sc.map_points, n_pieces=12,
+                         n_obs=160,
+                         stages=pbatch.default_stages(120))
     res = rp.replan(sc.start[:2], sc.goal[:2])    # compile + first run
     rec["build_s"] = round(time.time() - t0, 1)
     rec["front_ok"] = bool(res.success)

@@ -108,3 +108,21 @@ def test_horseshoe_certifies_under_start_goal_perturbation(dx, dy):
     assert res.success, (dx, dy)
     assert res.certified, (dx, dy, float(res.min_cert_sdf))
     assert float(res.min_cert_sdf) > 0.0
+
+
+def test_recorded_online_replans_are_interactive():
+    """Fast-lane invariant on the committed online_replans.json: the
+    compile-once replanner answers in interactive time (<150 ms p50)
+    with a working front end on every reference map. (Certificates are
+    recorded per map but not gated: the single-dispatch solve settles
+    colliding equilibria on some big-shape maps — the certified path
+    is the full Planner pipeline; see scripts/online_replans.py.)"""
+    path = os.path.join(_ROOT, "online_replans.json")
+    with open(path) as f:
+        rows = json.load(f)
+    assert len(rows) >= 13, len(rows)
+    for r in rows:
+        assert r.get("front_ok"), r["name"]
+        assert r.get("success_rate") == 1.0, r["name"]
+        assert r.get("replan_p50_ms", 1e9) < 150.0, (
+            r["name"], r.get("replan_p50_ms"))
