@@ -377,9 +377,12 @@ def _staged_solve(shape, cfg, stages, n, max_linesearch,
                   x0, head, tail, obstacles):
     """Warm-started stage loop shared by plan_batch_staged and
     plan_batch_e2e. stages entries:
-    (svs_cfg, iters[, ls[, ls_cand[, frozen_ls]]]) — frozen_ls=True
-    selects the frozen-oracle line search (one SVSDF oracle evaluation
-    per iteration; utils/lbfgs.py `frozen=`)."""
+    (svs_cfg, iters[, ls[, ls_cand[, frozen_ls[, weight_mult]]]]) —
+    frozen_ls=True selects the frozen-oracle line search (one SVSDF
+    oracle evaluation per iteration; utils/lbfgs.py `frozen=`);
+    weight_mult scales cfg.weight_p for that stage (in-solve penalty
+    escalation: the single-dispatch analogue of the pipeline's
+    certify-refine weight ladder)."""
     prob = back_end.BackEndProblem(head, tail, obstacles)
     x = x0
     res = None
@@ -388,6 +391,8 @@ def _staged_solve(shape, cfg, stages, n, max_linesearch,
         ls = stage[2] if len(stage) > 2 else max_linesearch
         ls_cand = stage[3] if len(stage) > 3 else 0
         frozen_ls = stage[4] if len(stage) > 4 else False
+        wmult = stage[5] if len(stage) > 5 else 1.0
+        wp = cfg.weight_p * wmult if wmult != 1.0 else None
         params = lbfgs.LBFGSParams(
             mem_size=cfg.mem_size, max_iterations=iters,
             g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
@@ -397,10 +402,12 @@ def _staged_solve(shape, cfg, stages, n, max_linesearch,
             # cheap surrogate against the carried SVSDF linearization;
             # ONE oracle pass per iteration (lbfgs.minimize frozen=)
             full, frz = back_end.make_cost_pair_fn(shape, prob, cfg,
-                                                   svs_cfg, n)
+                                                   svs_cfg, n,
+                                                   weight_p=wp)
             res = lbfgs.minimize(full, x, params, frozen=frz)
         else:
-            cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n)
+            cost = back_end.make_cost_fn(shape, prob, cfg, svs_cfg, n,
+                                         weight_p=wp)
             res = lbfgs.minimize(jax.value_and_grad(cost), x, params)
         x = res.x
     times = forward_t(x[:n])
