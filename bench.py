@@ -71,7 +71,13 @@ def _problem(n_pieces, n_obs, batch, seed=0):
 def bench_plans(n_pieces=8, n_obs=64, iters=50):
     """Full-featured (GSIP interior solve enabled) batched planning
     throughput. Tries a batch ladder — very large batches with the
-    interior solve compiled in can exceed the TPU compiler's limits."""
+    interior solve compiled in can exceed the TPU compiler's limits.
+
+    Ladder starts at 512: measured same-session on v5e (frozen ls=4
+    default stages, hifi-scored median cost) b256 1080 plans/s /
+    cost 2790, b512 1140.6 / 2744.6, b1024 1128.3 / 2689.0 — 512 is
+    the throughput knee (+5.6% over 256 at LOWER cost; 1024 trades
+    1% throughput for another 2% cost, past the knee)."""
     import numpy as np
     import jax.numpy as jnp
     from svsdf_tpu.models import shapes
@@ -85,7 +91,7 @@ def bench_plans(n_pieces=8, n_obs=64, iters=50):
     # measured speed/quality ladder.
     stages = pbatch.default_stages(iters)
     shape = shapes.make_shape("sdHeart")
-    for batch in (256, 128, 32):
+    for batch in (512, 256, 128, 32):
         try:
             head, tail, obs, x0 = _problem(n_pieces, n_obs, batch)
             probs = BackEndProblem(head, tail, obs)
