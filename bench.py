@@ -215,9 +215,14 @@ def bench_grid_queries(grid=256, coarse_n=256):
             "grid_batch_s": dt / reps}
 
 
-def bench_e2e(batch=256, n_pieces=8, n_obs=48, iters=40):
+def bench_e2e(batch=None, n_pieces=8, n_obs=48, iters=40):
     """Fully end-to-end batched plans/s: device wavefront front end +
-    resample + harvest + staged solve, one dispatch (plan_batch_e2e)."""
+    resample + harvest + staged solve, one dispatch (plan_batch_e2e).
+
+    Batch ladder (512, 256) mirrors bench_plans: measured same-session
+    on v5e b256 1160.8 plans/s vs b512 1246.5 (+7.4%), both at 100%
+    front-end success — 512 is the operating point, 256 the fallback
+    if the larger executable exceeds compiler limits."""
     import numpy as np
     import jax.numpy as jnp
     from svsdf_tpu.models import shapes
@@ -250,27 +255,37 @@ def bench_e2e(batch=256, n_pieces=8, n_obs=48, iters=40):
                                                seed_cell))
     fi, fj = np.nonzero(free & (dist < 1e8))
     rng = np.random.default_rng(0)
-    pick = lambda: np.stack([fi, fj], -1)[rng.integers(0, len(fi),
-                                                       batch)]
-    starts = jnp.asarray(pick(), jnp.int32)
-    goals = jnp.asarray(pick(), jnp.int32)
     stages = pbatch.default_stages(iters)
-    run = lambda s, g: pbatch.plan_batch_e2e(
-        shape, feas, occ_pts, s, g, cfg, stages, n_pieces, n_obs,
-        grid.resolution, jnp.asarray(grid.xyz_min[:2], jnp.float32))
-    out = run(starts, goals)
-    float(out.cost.sum())
-    times = []
-    for _ in range(3):
-        s2 = jnp.asarray(pick(), jnp.int32)
-        g2 = jnp.asarray(pick(), jnp.int32)
-        t0 = time.perf_counter()
-        out = run(s2, g2)
+
+    def measure(b):
+        pick = lambda: np.stack([fi, fj], -1)[rng.integers(0, len(fi),
+                                                           b)]
+        starts = jnp.asarray(pick(), jnp.int32)
+        goals = jnp.asarray(pick(), jnp.int32)
+        run = lambda s, g: pbatch.plan_batch_e2e(
+            shape, feas, occ_pts, s, g, cfg, stages, n_pieces, n_obs,
+            grid.resolution, jnp.asarray(grid.xyz_min[:2], jnp.float32))
+        out = run(starts, goals)
         float(out.cost.sum())
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    ok = float(np.mean(np.asarray(out.front_ok)))
-    return {"e2e_per_s": batch / dt, "e2e_ok": ok}
+        times = []
+        for _ in range(3):
+            s2 = jnp.asarray(pick(), jnp.int32)
+            g2 = jnp.asarray(pick(), jnp.int32)
+            t0 = time.perf_counter()
+            out = run(s2, g2)
+            float(out.cost.sum())
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        ok = float(np.mean(np.asarray(out.front_ok)))
+        return {"e2e_per_s": b / dt, "e2e_ok": ok}
+
+    for b in (batch,) if batch else (512, 256):
+        try:
+            return measure(b)
+        except Exception as e:                     # noqa: BLE001
+            print(f"# e2e batch={b} failed: {str(e)[:120]}",
+                  file=sys.stderr)
+    return {"e2e_per_s": float("nan"), "e2e_ok": float("nan")}
 
 
 def bench_replan_latency(n_pieces=8, n_obs=64, iters=50, reps=15):
@@ -315,7 +330,7 @@ _SECTIONS = {
 #: (BENCH_CACHE_DIR pointed at an empty dir, round 3): plans 164 s,
 #: grid 147 s, replan ~35 s, e2e 120 s — every section fits its
 #: budget from scratch; grid's is padded for margin.
-_BUDGETS = {"plans": 600, "grid": 210, "replan": 180, "e2e": 300}
+_BUDGETS = {"plans": 600, "grid": 210, "replan": 180, "e2e": 330}
 
 
 def _child(sections) -> None:
