@@ -43,6 +43,9 @@ def _enable_comp_cache():
 #: m8 918 plans/s / 2707.7 — the shorter two-loop recursion cuts the
 #: serialization-bound iteration and the final cost is statistically
 #: equal. Single-plan/API users keep the reference-parity default 16.
+#: Going shorter does NOT pay: at batch 512 (frozen ls=4) m4 1148.8
+#: plans/s / 2751.2 and m6 1147.4 / 2753.3 vs m8 1140.6 / 2744.6 —
+#: +0.7% throughput inside the noise band for slightly worse cost.
 _BENCH_MEM_SIZE = 8
 
 

@@ -94,13 +94,14 @@ def main():
     from svsdf_tpu.utils.config import PlannerConfig
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from bench import _problem
+    from bench import _problem, _BENCH_MEM_SIZE
 
     shape = shapes.make_shape("sdHeart")
-    cfg = PlannerConfig()
+    cfg = PlannerConfig(mem_size=_BENCH_MEM_SIZE)
 
-    # workload 1: staged batched solve (the bench headline)
-    head, tail, obs, x0 = _problem(8, 64, 128)
+    # workload 1: staged batched solve at the bench operating point
+    # (batch 512, mem_size 8, frozen ls=4 — matches bench_plans)
+    head, tail, obs, x0 = _problem(8, 64, 512)
     probs = BackEndProblem(head, tail, obs)
     stages = pbatch.default_stages(50)
 
@@ -108,7 +109,7 @@ def main():
         return pbatch.plan_batch_staged(shape, xx, probs, cfg,
                                         stages, 8).cost
 
-    report("staged_solve_b128", solve, (x0,))
+    report("staged_solve_b512", solve, (x0,))
 
     # workload 2: dense SVSDF grid query
     n = 6
