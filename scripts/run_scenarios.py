@@ -48,15 +48,7 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
                       gsip_coarse_n=64, gsip_refine_rounds=1, gsip_topk=16,
                       refine_interp_n=512, gsip_fori=True)
     try:
-        if name.startswith("synthetic_"):
-            sc = fixtures.synthetic_scenario(
-                name.removeprefix("synthetic_"))
-        elif name.startswith("deformable_"):
-            sc = fixtures.deformable_scenario(name)
-        elif name.startswith("mesh_"):
-            sc = fixtures.mesh_scenario(name.removeprefix("mesh_"))
-        else:
-            sc = fixtures.load_scenario(name)
+        sc = fixtures.load_any(name)
         planner = Planner(sc.config, sc.map_points, svs_cfg=svs,
                           solver=solver, shape=sc.shape)
         rec["build_s"] = round(time.time() - t0, 1)

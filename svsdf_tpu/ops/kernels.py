@@ -140,7 +140,8 @@ def feasibility_maps(occ2d, kernels) -> jnp.ndarray:
 
 def transition_stencils(shape: Shape2D, yaw_num: int, resolution: float,
                         guard_half_world: float,
-                        n_t: int = 51) -> jnp.ndarray:
+                        n_t: int = 51,
+                        n_deltas: int | None = None) -> jnp.ndarray:
     """Swept stencils for the sub-swept-volume transition check.
 
     Returns (yaw_num, n_delta, 8, s, s) bool where entry
@@ -157,6 +158,12 @@ def transition_stencils(shape: Shape2D, yaw_num: int, resolution: float,
     infeasible corridor. Pass guard_half_world >= shape radius +
     cell diagonal to make the transition veto exact on the grid —
     the stencils are a one-shot device precompute either way.
+
+    n_deltas limits the emitted delta slices to the first n of
+    YAW_BFS_DELTAS (0, -1, +1, -2, ...) — the 3-D wavefront
+    (planner/wavefront.py distance_field_3d) only walks small
+    per-cell rotations, and on big grids the full 11-delta tensor is
+    the dominant memory term.
     """
     half_cells = int(math.floor(guard_half_world / resolution))
     s = 2 * half_cells + 1
@@ -165,7 +172,8 @@ def transition_stencils(shape: Shape2D, yaw_num: int, resolution: float,
     pts = jnp.stack([ox, oy], axis=-1)                   # (s, s, 2)
 
     t = jnp.linspace(0.0, 1.0, n_t)                      # (T,)
-    deltas = jnp.asarray(YAW_BFS_DELTAS)
+    deltas = jnp.asarray(YAW_BFS_DELTAS[:n_deltas]
+                         if n_deltas else YAW_BFS_DELTAS)
     fbins = jnp.arange(yaw_num)
     dirs = jnp.asarray(DIRS8, dtype=pts.dtype) * resolution  # (8, 2)
 

@@ -416,13 +416,123 @@ def _staged_solve(shape, cfg, stages, n, max_linesearch,
     return x, res, traj
 
 
+def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
+                    n_obs, x, head, tail, obstacles,
+                    refine_rounds: int, refine_iters: int,
+                    refine_esc: float, cert_margin: float,
+                    refine_fast: bool = True):
+    """In-dispatch certify-and-refine — the single-dispatch analogue of
+    the pipeline's map-wide certify/escalate loop (pipeline.py
+    `_attempt`; reference per-click product plan_manager.cpp:128-231).
+
+    Each round: re-harvest the n_obs occupied voxels nearest the
+    CURRENT sweep (the staged solve can drift off the front-end path's
+    harvest), run the polish-fidelity certificate, and for violating
+    lanes escalate the penalty weight (x refine_esc) and the demanded
+    margin (+0.1 m) as per-lane TRACED scalars — then re-solve
+    refine_iters more iterations warm-started. Non-violating lanes
+    keep polishing at base weight. All fixed-shape: B lanes advance
+    in lockstep under vmap, certified and colliding alike.
+
+    Returns (x, obstacles, cost) after the last round.
+    """
+    from svsdf_tpu.ops.svsdf import svsdf_query
+    from svsdf_tpu.utils import trajectory as trj
+
+    cert_cfg = stages[-1][0]        # certificate at polish fidelity
+    # refine solves need polish fidelity too: an A/B with the cheap
+    # fast-stage oracle regressed sdPie's certificate from +0.14 to
+    # -0.94 at nearly equal wall time — at batch 1 the rounds are
+    # sequential-depth-bound, so oracle economy buys nothing
+    solve_stage = stages[0] if refine_fast else stages[-1]
+    svs_cfg = solve_stage[0]
+    ls = solve_stage[2] if len(solve_stage) > 2 else max_linesearch
+    # NOTE the width-for-depth parallel surrogate search was tried
+    # here and regressed sdPie's certificate from +0.14 to -0.48 for
+    # only -18% latency — escalated-weight refine steps need the deep
+    # sequential bisection to land productive steps
+    ls_cand = solve_stage[3] if len(solve_stage) > 3 else 0
+    frozen_ls = solve_stage[4] if len(solve_stage) > 4 else False
+    wp = jnp.asarray(cfg.weight_p, x.dtype)
+    sh = jnp.asarray(cfg.safety_hor, x.dtype)
+    cost = jnp.asarray(jnp.inf, x.dtype)
+    prev_cert = jnp.asarray(-jnp.inf, x.dtype)
+    for _ in range(refine_rounds):
+        times = forward_t(x[:n])
+        wps = x[n:].reshape(n - 1, 3)
+        traj = minco.solve(times, head, tail, wps)
+        ts = jnp.linspace(0.0, jnp.sum(times), 4 * n + 1)
+        sweep_xy, _, _ = trj.state_se2(traj, ts)
+        obstacles = _harvest_topm(occ_pts, sweep_xy, n_obs)
+        q = svsdf_query(shape, traj, obstacles, cert_cfg,
+                        with_inside=False)
+        cert = q.sdf.min()
+        viol = cert < cert_margin
+        # Stalled-equilibrium escape (the single-dispatch analogue of
+        # pipeline._nudge_waypoints): when escalation fails to improve
+        # the certificate, the lane sits at a two-sided penalty kink —
+        # physically push the waypoints nearest the worst violator
+        # along -grad(swept SDF) before re-solving.
+        i_worst = jnp.argmin(q.sdf)
+        stalled = viol & (cert <= prev_cert + 0.01)
+        g = q.grad_world[i_worst]
+        gn = jnp.linalg.norm(g)
+        push = jnp.where(gn > 1e-6, (-cert + 0.1) / jnp.maximum(gn, 1e-6),
+                         0.0)
+        wdist = jnp.linalg.norm(wps[:, :2] - obstacles[i_worst][None],
+                                axis=1)
+        fall = jnp.exp(-(wdist / 3.0) ** 2)[:, None]
+        wps_n = wps.at[:, :2].add(-g[None] * push * fall
+                                  * jnp.where(stalled, 1.0, 0.0))
+        x = jnp.concatenate([x[:n], wps_n.reshape(-1)])
+        prev_cert = cert
+        wp = jnp.where(viol, wp * refine_esc, wp)
+        sh = jnp.where(viol, sh + 0.1, sh)
+        prob = back_end.BackEndProblem(head, tail, obstacles)
+        params = lbfgs.LBFGSParams(
+            mem_size=cfg.mem_size, max_iterations=refine_iters,
+            g_epsilon=1e-7, past=3, delta=cfg.relCostTol,
+            max_linesearch=ls, ls_candidates=ls_cand)
+
+        def do_solve(x=x, wp=wp, sh=sh, prob=prob):
+            if frozen_ls:
+                full, frz = back_end.make_cost_pair_fn(
+                    shape, prob, cfg, svs_cfg, n, weight_p=wp,
+                    safety_hor=sh)
+                res = lbfgs.minimize(full, x, params, frozen=frz)
+            else:
+                cfn = back_end.make_cost_fn(shape, prob, cfg, svs_cfg,
+                                            n, weight_p=wp,
+                                            safety_hor=sh)
+                res = lbfgs.minimize(jax.value_and_grad(cfn), x,
+                                     params)
+            return res.x, res.f
+
+        # certified lanes SKIP the solve. On the unbatched single-
+        # replan path (plan_batch_e2e B=1 bypasses vmap) the cond
+        # truly short-circuits, so extra rounds are ~free once the
+        # plan certifies; under vmap it lowers to a select (all lanes
+        # pay every round — lockstep batching semantics unchanged).
+        x, cost = jax.lax.cond(viol, do_solve,
+                               lambda x=x, cost=cost: (x, cost))
+    return x, obstacles, cost
+
+
 @functools.partial(jax.jit,
-                   static_argnums=(0, 5, 6, 7, 8, 11, 12))
+                   static_argnums=(0, 5, 6, 7, 8, 11, 12, 13, 14, 15,
+                                   16, 18, 19))
 def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
                    cfg: PlannerConfig, stages: tuple, n: int,
                    n_obs: int, resolution, xy_min,
                    max_linesearch: int = 2,
-                   max_path_len: int | None = None) -> E2EBatchResult:
+                   max_path_len: int | None = None,
+                   refine_rounds: int = 0, refine_iters: int = 12,
+                   refine_esc: float = 4.0,
+                   cert_margin: float = 0.0,
+                   trans_feas=None,
+                   yaw_weight: float = 0.25,
+                   refine_fast: bool = False,
+                   cell_cost=None) -> E2EBatchResult:
     """Fully-batched END-TO-END planning in one dispatch: device
     wavefront front end (geodesic field + greedy descent + yaw-bin
     assignment), arc-length waypoint resampling to a fixed n-piece
@@ -437,6 +547,16 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
     extracted path (and the distance-field sweep count): the default
     4*(X+Y) covers serpentine corridors several map-lengths long;
     raise it for maze-like maps (a geodesic can be up to X*Y/2 cells).
+
+    refine_rounds > 0 enables the in-dispatch certify-and-refine loop
+    (_certify_refine): after the staged solve, each round re-harvests
+    obstacles near the current sweep, certifies, and re-solves
+    violating lanes with escalated penalty weight — the per-click
+    collision-free product of the reference (plan_manager.cpp:128-231)
+    inside ONE cached executable. cert_margin is the violation
+    threshold the escalation drives the certificate above (e.g.
+    0.25 * safety_hor).
+
     Returns E2EBatchResult.
     """
     from svsdf_tpu.ops.svsdf import svsdf_query
@@ -448,11 +568,26 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
         max_path_len = 4 * int(free.shape[0] + free.shape[1])
 
     def front(s, g):
-        dist = wavefront.distance_field(free, g,
-                                        max_iters=max_path_len + 8)
-        path, length, success = wavefront.extract_path(
-            dist, s, max_path_len)
-        yaws = wavefront.assign_yaws(feas, path)
+        if trans_feas is not None:
+            # yaw IN the search graph: edges are transition-checked
+            # (cell, bin) moves, so the extracted path cannot demand
+            # rotations whose sub-sweep collides (distance_field_3d)
+            dist3 = wavefront.distance_field_3d(
+                feas, trans_feas, g, yaw_weight,
+                max_iters=max_path_len + 8, cell_cost=cell_cost)
+            path, yaws, length, success = wavefront.extract_path_3d(
+                dist3, trans_feas, s, max_path_len, yaw_weight,
+                cell_cost=cell_cost)
+        else:
+            dist = wavefront.distance_field(free, g,
+                                            max_iters=max_path_len + 8)
+            path, length, success = wavefront.extract_path(
+                dist, s, max_path_len)
+            # Viterbi DP yaw assignment: globally minimal total
+            # rotation subject to per-cell feasibility (the greedy
+            # scan seeds spinning trajectories on big-shape maps —
+            # see assign_yaws_dp's docstring)
+            yaws = wavefront.assign_yaws_dp(feas, path)
         head, tail, states = _resample_path(
             path, yaws, length, n, resolution, xy_min, feas.shape[0])
         obs = _harvest_topm(occ_pts, states, n_obs)
@@ -464,23 +599,49 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
                                                       goals_ij)
 
     def solve_one(x0, head, tail, obstacles):
+        from svsdf_tpu.utils import trajectory as trj
         x, res, traj = _staged_solve(shape, cfg, stages, n,
                                      max_linesearch, x0, head, tail,
                                      obstacles)
+        cost = res.f
+        if refine_rounds > 0:
+            x, obstacles, cost = _certify_refine(
+                shape, cfg, stages, n, max_linesearch, occ_pts, n_obs,
+                x, head, tail, obstacles, refine_rounds, refine_iters,
+                refine_esc, cert_margin, refine_fast)
+            traj = minco.solve(forward_t(x[:n]), head, tail,
+                               x[n:].reshape(n - 1, 3))
+            # final certificate over a FRESH harvest at the refined
+            # sweep (the last round's set predates its solve)
+            ts = jnp.linspace(0.0, jnp.sum(traj.durations), 4 * n + 1)
+            sweep_xy, _, _ = trj.state_se2(traj, ts)
+            obstacles = _harvest_topm(occ_pts, sweep_xy, n_obs)
         cert = svsdf_query(shape, traj, obstacles, stages[-1][0],
                            with_inside=False).sdf.min()
-        return x, res.f, cert, traj.coeffs, traj.durations
+        return x, cost, cert, obstacles, traj.coeffs, traj.durations
 
-    xs, costs, certs, co, du = jax.vmap(solve_one)(x0_b, head_b,
-                                                   tail_b, obs_b)
-    return E2EBatchResult(ok, xs, costs, certs, head_b, tail_b, obs_b,
+    if starts_ij.shape[0] == 1:
+        # single-replan path: no vmap, so the certify-refine rounds'
+        # lax.cond truly short-circuits once certified (under vmap a
+        # cond lowers to a select and every lane pays every round)
+        one = solve_one(x0_b[0], head_b[0], tail_b[0], obs_b[0])
+        xs, costs, certs, obs_f, co, du = jax.tree.map(
+            lambda a: a[None], one)
+    else:
+        xs, costs, certs, obs_f, co, du = jax.vmap(solve_one)(
+            x0_b, head_b, tail_b, obs_b)
+    return E2EBatchResult(ok, xs, costs, certs, head_b, tail_b, obs_f,
                           co, du)
 
 
 def sharded_plan_batch_e2e(shape: Shape2D, mesh: Mesh,
                            cfg: PlannerConfig, stages: tuple, n: int,
                            n_obs: int, resolution, xy_min,
-                           max_linesearch: int = 2):
+                           max_linesearch: int = 2,
+                           refine_rounds: int = 0,
+                           refine_iters: int = 12,
+                           refine_esc: float = 4.0,
+                           cert_margin: float = 0.0):
     """Multi-chip end-to-end planning: scenarios sharded over the
     mesh's 'scn' axis (the front end has no cross-scenario coupling,
     so e2e planning is embarrassingly data-parallel); the map products
@@ -490,7 +651,11 @@ def sharded_plan_batch_e2e(shape: Shape2D, mesh: Mesh,
     def shard_fn(feas, occ_pts, starts, goals):
         return plan_batch_e2e(shape, feas, occ_pts, starts, goals,
                               cfg, stages, n, n_obs, resolution,
-                              xy_min, max_linesearch)
+                              xy_min, max_linesearch,
+                              refine_rounds=refine_rounds,
+                              refine_iters=refine_iters,
+                              refine_esc=refine_esc,
+                              cert_margin=cert_margin)
 
     spec_b = E2EBatchResult(P("scn"), P("scn"), P("scn"), P("scn"),
                             P("scn"), P("scn"), P("scn"), P("scn"),

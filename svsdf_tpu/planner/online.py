@@ -53,7 +53,10 @@ class OnlineReplanner:
     def __init__(self, config: PlannerConfig, map_points: np.ndarray,
                  n_pieces: int = 8, n_obs: int = 48,
                  stages: Optional[tuple] = None, iters: int = 50,
-                 conservative_yaw_substeps: int = 1):
+                 conservative_yaw_substeps: int = 1,
+                 refine_rounds: int = 2, refine_iters: int = 12,
+                 refine_esc: float = 4.0,
+                 cert_margin: Optional[float] = None):
         self.config = config
         self.n = n_pieces
         self.shape = shapes.shape_from_objpath(config.inputdata,
@@ -69,6 +72,27 @@ class OnlineReplanner:
             yaw_substeps=conservative_yaw_substeps)
         self.feas = kops.feasibility_maps(jnp.asarray(self.grid.occ2d),
                                           kernels)
+        # sub-swept-volume transition maps for the 3-D front end
+        # (yaw in the search graph; wavefront.distance_field_3d).
+        # Guard box covers the shape at the father pose one cell away;
+        # rotation rate limited to +-2 bins per cell move.
+        guard = (config.kernel_size // 2 + 2) * \
+            config.occupancy_resolution
+        stencils = kops.transition_stencils(
+            self.shape, config.kernel_yaw_num,
+            config.occupancy_resolution, guard, n_deltas=5)
+        self.trans_feas = kops.transition_feasibility(
+            jnp.asarray(self.grid.occ2d), stencils)
+        # clearance shaping for the 3-D front end: a pure geodesic
+        # hugs walls, handing the optimizer zero-margin warm starts;
+        # this biases the SAME corridors mid-channel (cost up to
+        # w_clear extra steps for a wall-adjacent cell)
+        from svsdf_tpu.ops import esdf as esdf_ops
+        es = esdf_ops.esdf(jnp.asarray(self.grid.occ2d),
+                           config.occupancy_resolution)
+        d_safe = config.safety_hor + 2.0 * config.occupancy_resolution
+        self.cell_cost = 1.0 * jnp.maximum(
+            0.0, 1.0 - es / d_safe).astype(jnp.float32)
         ii, jj = np.nonzero(self.grid.occ2d)
         occ = np.stack(
             [self.grid.xyz_min[0] + (ii + 0.5) * self.grid.resolution,
@@ -81,6 +105,15 @@ class OnlineReplanner:
         self.stages = (stages if stages is not None
                        else pbatch.default_stages_lowlat(iters))
         self.xy_min = jnp.asarray(self.grid.xyz_min[:2], jnp.float32)
+        # in-dispatch certify-refine (parallel/batch.py
+        # _certify_refine): drives the certificate above cert_margin
+        # by per-lane penalty escalation — default margin quarter of
+        # the safety horizon, so certified plans land clear of zero
+        self.refine_rounds = refine_rounds
+        self.refine_iters = refine_iters
+        self.refine_esc = refine_esc
+        self.cert_margin = (0.25 * config.safety_hor
+                            if cert_margin is None else cert_margin)
 
     def _cell(self, p) -> np.ndarray:
         idx = self.grid.grid_index(np.asarray(
@@ -93,7 +126,10 @@ class OnlineReplanner:
         out = pbatch.plan_batch_e2e(
             self.shape, self.feas, self.occ_pts, s, g, self.config,
             self.stages, self.n, self.n_obs, self.grid.resolution,
-            self.xy_min)
+            self.xy_min, refine_rounds=self.refine_rounds,
+            refine_iters=self.refine_iters, refine_esc=self.refine_esc,
+            cert_margin=float(self.cert_margin),
+            trans_feas=self.trans_feas, cell_cost=self.cell_cost)
         # ONE bulk host readback: the trajectory comes out of the
         # jitted program (an eager host-side minco re-solve here cost
         # ~1.3 s of tiny tunneled dispatches), and scalar reads are

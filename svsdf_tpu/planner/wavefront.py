@@ -168,6 +168,217 @@ def assign_yaws(feas, path, prev_bin0: int = 0):
     return out
 
 
+def distance_field_3d(feas, trans_feas, goal_ij,
+                      yaw_weight: float = 0.25,
+                      max_iters: int | None = None,
+                      cell_cost=None):
+    """Exact cost-to-go over the (yaw_bin, x, y) STATE space, with
+    edges gated by the sub-swept-volume transition stencils — the
+    device analogue of the reference A*'s checkSubSWCollision veto
+    (front_end_Astar.hpp:218-227) promoted into the search graph
+    itself.
+
+    The 2-D wavefront treats a cell as traversable if ANY yaw fits
+    (free = feas.any(0)) and assigns yaw afterwards — on big-shape
+    maps that emits paths whose per-cell feasible yaw sets don't
+    connect (adjacent cells force 120 deg+ bin jumps), seeding the
+    optimizer with a spinning, wall-grinding warm start it can never
+    unwind. Here a state is (bin k, cell ij); an edge moves one cell
+    in one of 8 directions while rotating delta bins, allowed iff the
+    interpolated sub-sweep is collision-free
+    (trans_feas[k, delta_idx, dir_idx, x', y'], ops/kernels.py), with
+    cost step_len + yaw_weight * |delta|. Rotation cost makes the
+    field prefer corridors the shape can thread without spinning.
+
+    feas: (K, X, Y) bool; trans_feas: (K, D, 8, X, Y) bool with the D
+    axis ordered like YAW_BFS_DELTAS (ops/kernels.py) — pass as many
+    delta slices as the rotation rate should allow (D=3 -> 0, -1, +1
+    bins per cell move). goal_ij: (2,) int; any feasible goal yaw is
+    accepted (the reference snaps goal yaw too, plan_manager.cpp).
+    cell_cost: optional (X, Y) float32 added on ENTERING a cell — the
+    clearance shaping term (e.g. w * relu(d_safe - esdf)): a pure
+    geodesic hugs walls, leaving the optimizer a warm start that must
+    squeeze out of zero-clearance corners; a small wall-proximity cost
+    routes the SAME corridors mid-channel. Extraction must use the
+    same shaping (extract_path_3d cell_cost).
+
+    Returns (K, X, Y) float32 cost-to-go (INF = unreachable).
+    """
+    from svsdf_tpu.ops.kernels import YAW_BFS_DELTAS
+    K, X, Y = feas.shape
+    D = trans_feas.shape[1]
+    if max_iters is None:
+        max_iters = X * Y + 4 * K
+    d0 = jnp.full((K, X, Y), INF, jnp.float32)
+    d0 = d0.at[:, goal_ij[0], goal_ij[1]].set(
+        jnp.where(feas[:, goal_ij[0], goal_ij[1]], 0.0, INF))
+
+    deltas = YAW_BFS_DELTAS[:D]
+    edges = []          # (delta, delta_idx, (di, dj), dir_idx, cost)
+    for d_idx, de in enumerate(deltas):
+        for m_idx, (di, dj) in enumerate(_DIRS):
+            c = float(_COSTS[m_idx]) + yaw_weight * abs(de)
+            edges.append((int(de), d_idx, (int(di), int(dj)), m_idx, c))
+
+    def _shift3(a, de, di, dj, fill):
+        # child state (k+de, i+di, j+dj) value aligned to (k, i, j):
+        # K axis is circular (roll), spatial edges filled
+        a = jnp.roll(a, -de, axis=0)
+        a = jnp.roll(a, -di, axis=1).at[:, _edge_x(-di, X)].set(fill)
+        a = jnp.roll(a, -dj, axis=2).at[:, :, _edge_y(-dj, Y)].set(fill)
+        return a
+
+    def _shift2(a, di, dj, fill):
+        a = jnp.roll(a, -di, axis=1).at[:, _edge_x(-di, X)].set(fill)
+        return jnp.roll(a, -dj, axis=2).at[:, :, _edge_y(-dj, Y)].set(
+            fill)
+
+    # cost-to-go accumulates the CHILD cell's entry cost, aligned to
+    # the father position like the child distance below
+    ccost = (None if cell_cost is None
+             else jnp.asarray(cell_cost, jnp.float32))
+
+    def relax(d):
+        best = d
+        for de, d_idx, (di, dj), m_idx, c in edges:
+            child = _shift3(d, de, di, dj, INF)
+            # trans_feas[k, d_idx, m_idx, x', y'] marks the transition
+            # INTO cell (x', y') from direction m with father bin k —
+            # align the child cell's flag to the father position
+            allowed = _shift2(trans_feas[:, d_idx, m_idx], di, dj,
+                              False)
+            cand = child + c + jnp.where(allowed, 0.0, INF)
+            if ccost is not None:
+                cand = cand + _shift2(ccost[None], di, dj, 0.0)[0]
+            best = jnp.minimum(best, cand)
+        return best
+
+    def body(carry):
+        d, _, it = carry
+        d2 = relax(d)
+        changed = jnp.any(d2 < d - 1e-6)
+        return d2, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_iters)
+
+    d, _, _ = jax.lax.while_loop(cond, body, (relax(d0),
+                                              jnp.asarray(True),
+                                              jnp.asarray(1)))
+    return d
+
+
+def extract_path_3d(dist3, trans_feas, start_ij, max_len: int = 512,
+                    yaw_weight: float = 0.25, cell_cost=None):
+    """Greedy steepest-descent through the 3-D field: returns
+    (path (max_len, 2), bins (max_len,), length, success). The start
+    bin is the cheapest feasible bin at the start cell (the reference
+    snaps the start yaw to a kernel bin as well)."""
+    from svsdf_tpu.ops.kernels import YAW_BFS_DELTAS
+    K, X, Y = dist3.shape
+    D = trans_feas.shape[1]
+    deltas = jnp.asarray(YAW_BFS_DELTAS[:D], jnp.int32)      # (D,)
+    dirs = jnp.asarray(_DIRS)                                # (8, 2)
+    costs = (jnp.asarray(_COSTS)[None, :]
+             + yaw_weight * jnp.abs(deltas.astype(jnp.float32))[:, None]
+             )                                               # (D, 8)
+
+    b0 = jnp.argmin(dist3[:, start_ij[0], start_ij[1]]).astype(
+        jnp.int32)
+
+    def step(carry, _):
+        b, ij, done = carry
+        here = dist3[b, ij[0], ij[1]]
+        nbr = ij[None, :] + dirs                             # (8, 2)
+        ok = ((nbr[:, 0] >= 0) & (nbr[:, 0] < X) &
+              (nbr[:, 1] >= 0) & (nbr[:, 1] < Y))            # (8,)
+        nclip = jnp.clip(nbr, 0, jnp.asarray([X - 1, Y - 1]))
+        nb = (b + deltas[:, None]) % K                       # (D, 8)
+        child = dist3[nb, nclip[None, :, 0], nclip[None, :, 1]]
+        # allowed[d, m] = trans_feas[b, d, m, nclip[m]] — dir index m
+        # must pair with neighbor m
+        allowed = trans_feas[b][:, jnp.arange(8), nclip[:, 0],
+                               nclip[:, 1]]                  # (D, 8)
+        nd = child + costs + jnp.where(allowed & ok[None], 0.0, INF)
+        if cell_cost is not None:
+            nd = nd + cell_cost[nclip[:, 0], nclip[:, 1]][None]
+        j = jnp.argmin(nd)
+        dj, mj = jnp.unravel_index(j, nd.shape)
+        improves = (nd[dj, mj] < here + 1e-3 + 1e-5 * here) \
+            & (nd[dj, mj] < 0.5 * INF)
+        at_goal = here <= 0.0
+        move = (~done) & (~at_goal) & improves
+        ij_n = jnp.where(move, nbr[mj], ij)
+        b_n = jnp.where(move, nb[dj, mj], b)
+        done_n = done | at_goal | (~improves)
+        return (b_n, ij_n, done_n), (ij_n, b_n)
+
+    (bf, final_ij, _), (path, bins) = jax.lax.scan(
+        step, (b0, start_ij, jnp.asarray(False)), None,
+        length=max_len - 1)
+    path = jnp.concatenate([start_ij[None], path], axis=0)
+    bins = jnp.concatenate([b0[None], bins], axis=0)
+    success = dist3[bf, final_ij[0], final_ij[1]] <= 0.0
+    moved = jnp.any(path[1:] != path[:-1], axis=1)
+    length = 1 + jnp.sum(moved.astype(jnp.int32))
+    return path, bins, length, success
+
+
+def assign_yaws_dp(feas, path):
+    """Globally smoothest yaw assignment along the path: a Viterbi DP
+    over (cell, bin) minimizing total circular bin rotation subject to
+    per-cell feasibility.
+
+    The greedy nearest-bin scan (assign_yaws) is myopic: entering a
+    region whose feasible set has rotated away from the carried bin
+    forces a large jump there, and later cells inherit the bad branch —
+    measured on the sdPie map it emits bin sequences jumping 6+ bins
+    (120 deg+) between adjacent cells, seeding the back end with a
+    wildly spinning initial trajectory whose swept volume grinds
+    through walls (a colliding equilibrium penalty escalation cannot
+    unwind — the rotation is topologically trapped). The DP plans the
+    rotation globally: total |delta bin| is minimized end to end, so
+    the robot pre-rotates gradually where the corridor demands it.
+
+    feas: (K, X, Y) bool; path: (L, 2) int cells (padding repeats the
+    last cell — identity transitions, zero added cost). Returns (L,)
+    int32 bins. O(L*K^2) tiny matrix work, scan over L.
+    """
+    K = feas.shape[0]
+    fpath = feas[:, path[:, 0], path[:, 1]].T        # (L, K)
+    bins = jnp.arange(K)
+    delta = jnp.minimum((bins[:, None] - bins[None, :]) % K,
+                        (bins[None, :] - bins[:, None]) % K
+                        ).astype(jnp.float32)        # (K_prev, K)
+    big = jnp.float32(1e6)
+    cost0 = jnp.where(fpath[0], 0.0, big)
+
+    def fwd(c_prev, f):
+        cand = c_prev[:, None] + delta               # (K_prev, K)
+        best_prev = jnp.argmin(cand, axis=0)         # (K,)
+        c = jnp.min(cand, axis=0)
+        c = jnp.where(f, c, big)
+        # infeasible cell (shouldn't happen on free = feas.any(0)
+        # paths): carry costs through, backtrack stays in place
+        any_f = jnp.any(f)
+        c = jnp.where(any_f, c, c_prev)
+        best_prev = jnp.where(any_f, best_prev, bins)
+        return c, best_prev.astype(jnp.int32)
+
+    c_final, back = jax.lax.scan(fwd, cost0, fpath[1:])  # (L-1, K)
+
+    def bwd(b, bp):
+        # b = chosen bin at cell i+1; bp = back-pointers for the
+        # i -> i+1 transition; emit the bin at cell i
+        nb = bp[b]
+        return nb, nb
+
+    b_last = jnp.argmin(c_final).astype(jnp.int32)
+    _, rev = jax.lax.scan(bwd, b_last, back, reverse=True)
+    return jnp.concatenate([rev, b_last[None]]).astype(jnp.int32)
+
+
 def plan(free, feas, start_ij, goal_ij, max_len: int = 512,
          start_bin: int = 0) -> WavefrontResult:
     """Full device front end for one scenario; `jax.vmap(plan,
@@ -175,7 +386,8 @@ def plan(free, feas, start_ij, goal_ij, max_len: int = 512,
     feas.any(0) — any feasible yaw); feas: (K, X, Y) yaw feasibility."""
     dist = distance_field(free, goal_ij)
     path, length, success = extract_path(dist, start_ij, max_len)
-    yaws = assign_yaws(feas, path, start_bin)
+    del start_bin  # the DP optimizes the whole profile globally
+    yaws = assign_yaws_dp(feas, path)
     return WavefrontResult(success, path, yaws, length, dist)
 
 

@@ -171,6 +171,24 @@ def deformable_scenario(name: str = "deformable_star") -> Scenario:
                     shape=shape)
 
 
+def load_any(name: str, root: str = REFERENCE_ROOT) -> Scenario:
+    """Load ANY scenario by name, dispatching on the naming convention
+    used throughout the repo: `synthetic_*` -> gate maps for shapes
+    without reference fixtures, `deformable_*` -> breathing-scale
+    scenarios, `mesh_*` -> reference maps with the mesh-SDF robot,
+    anything else -> the reference launch/config/pcds triple
+    (plan_manager.cpp:359-422). This is the single loader the golden
+    replay lane and scripts/run_scenarios.py share, so a scenario that
+    certifies in the recorder is replayable by the same name in CI."""
+    if name.startswith("synthetic_"):
+        return synthetic_scenario(name.removeprefix("synthetic_"))
+    if name.startswith("deformable_"):
+        return deformable_scenario(name)
+    if name.startswith("mesh_"):
+        return mesh_scenario(name.removeprefix("mesh_"), root=root)
+    return load_scenario(name, root=root)
+
+
 def mesh_scenario(ref_name: str, root: str = REFERENCE_ROOT,
                   resolution: float = 0.05) -> Scenario:
     """Reference scenario planned with the robot loaded from the

@@ -61,11 +61,14 @@ def test_golden_replay(name):
     from svsdf_tpu.utils import fixtures
 
     rec = _rows()[name]
-    sc = fixtures.load_scenario(name)
+    # prefix-dispatching loader shared with scripts/run_scenarios.py —
+    # deformable_*/synthetic_*/mesh_* rows have no reference YAML
+    sc = fixtures.load_any(name)
     svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
                       gsip_coarse_n=64, gsip_refine_rounds=1, gsip_topk=16,
                       refine_interp_n=512, gsip_fori=True)
-    planner = Planner(sc.config, sc.map_points, svs_cfg=svs)
+    planner = Planner(sc.config, sc.map_points, svs_cfg=svs,
+                      shape=sc.shape)
     res = planner.plan(sc.start, sc.goal)
     assert res.success
     assert res.certified, f"{name}: min_cert_sdf={res.min_cert_sdf}"
