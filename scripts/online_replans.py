@@ -35,14 +35,15 @@ def run_one(name: str, reps: int = 15) -> dict:
 
     rec = {"name": name}
     t0 = time.time()
-    sc = fixtures.load_scenario(name)
-    # real-map sizing (measured on sdHeart): n=12/M=160 with the
-    # 120-iteration throughput schedule lands ~109 ms p50 at the best
-    # observed certificate; the tiny bench defaults (8/48) were sized
-    # for the synthetic problem
+    sc = fixtures.load_any(name)
+    # round-4 operating point (tuned on sdPie, the hardest map): the
+    # 3-D transition-checked front end + 80-iteration throughput
+    # schedule + 6 certify-refine rounds of 12 iters with early exit
+    # — p50 ~144 ms with cert_min_median > 0 (scripts/tune_online.py)
     rp = OnlineReplanner(sc.config, sc.map_points, n_pieces=12,
                          n_obs=160,
-                         stages=pbatch.default_stages(120))
+                         stages=pbatch.default_stages(80),
+                         refine_rounds=6, refine_iters=12)
     res = rp.replan(sc.start[:2], sc.goal[:2])    # compile + first run
     rec["build_s"] = round(time.time() - t0, 1)
     rec["front_ok"] = bool(res.success)

@@ -100,16 +100,24 @@ def main():
     cfg = PlannerConfig(mem_size=_BENCH_MEM_SIZE)
 
     # workload 1: staged batched solve at the bench operating point
-    # (batch 512, mem_size 8, frozen ls=4 — matches bench_plans)
-    head, tail, obs, x0 = _problem(8, 64, 512)
-    probs = BackEndProblem(head, tail, obs)
+    # (mem_size 8, frozen ls=4 — matches bench_plans). Batch ladder
+    # mirrors bench_plans (ADVICE r3): very large batches with the
+    # interior solve can exceed TPU compiler limits on some devices.
     stages = pbatch.default_stages(50)
+    for b in (512, 256, 128, 32):
+        try:
+            head, tail, obs, x0 = _problem(8, 64, b)
+            probs = BackEndProblem(head, tail, obs)
 
-    def solve(xx):
-        return pbatch.plan_batch_staged(shape, xx, probs, cfg,
-                                        stages, 8).cost
+            def solve(xx, probs=probs):
+                return pbatch.plan_batch_staged(shape, xx, probs, cfg,
+                                                stages, 8).cost
 
-    report("staged_solve_b512", solve, (x0,))
+            report(f"staged_solve_b{b}", solve, (x0,))
+            break
+        except Exception as e:                     # noqa: BLE001
+            print(f"# staged_solve batch={b} failed: {str(e)[:120]}",
+                  file=sys.stderr)
 
     # workload 2: dense SVSDF grid query
     n = 6

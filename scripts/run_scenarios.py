@@ -81,6 +81,12 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
             q = svsdf_query(planner.shape, res.traj,
                             jnp.asarray(res.obstacles[:, :2]), svs)
             rec["min_svsdf_harvest"] = round(float(q.sdf.min()), 4)
+        # fixed-objective re-score: energy + rho*T + base-weight SVSDF
+        # penalty (reference weights, mu=0.01) of the FINAL trajectory
+        # — comparable across solvers and refine ladders, unlike
+        # final_cost whose penalty weight escalates per refine round
+        # (VERDICT r3 weak #4)
+        rec["score_fixed"] = round(score_fixed(planner, res, svs), 2)
         # certificate 2: every occupied voxel center in the 2-D slice
         # near the trajectory (one jitted dispatch via Planner.certify)
         pts, sdf = planner.certify(res.traj)
@@ -99,6 +105,25 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
         rec["success"] = False
         rec["error"] = f"{type(e).__name__}: {e}"
     return rec
+
+
+def score_fixed(planner, res, svs) -> float:
+    """One fixed objective for cross-solver comparison: spline energy
+    + rho * total time + the base-weight smoothed-L1 SVSDF penalty
+    (mu = 0.01, the reference's grad_cost_p_sw constant) over the
+    plan's harvested obstacle set."""
+    import jax.numpy as jnp
+    from svsdf_tpu.ops import minco
+    from svsdf_tpu.planner import back_end
+
+    base = float(minco.energy(res.traj)
+                 + planner.config.rho * jnp.sum(res.traj.durations))
+    if len(res.obstacles) == 0:
+        return base
+    pen, _ = back_end.svsdf_penalty(
+        planner.shape, res.traj, jnp.asarray(res.obstacles[:, :2]),
+        planner.config, svs)
+    return base + float(pen)
 
 
 def export_swept_3d(name, sc, res) -> str:

