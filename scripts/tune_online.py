@@ -36,10 +36,17 @@ def main():
               else pbatch.default_stages_lowlat(sched_iters))
 
     sc = fixtures.load_any(name)
+    yawn = os.environ.get("YAWN")
+    if yawn:
+        import dataclasses
+        sc.config = dataclasses.replace(sc.config,
+                                        kernel_yaw_num=int(yawn))
     t0 = time.time()
+    cm = os.environ.get("CM")
     rp = OnlineReplanner(sc.config, sc.map_points, n_pieces=12,
                          n_obs=160, stages=stages,
-                         refine_rounds=rounds, refine_iters=iters)
+                         refine_rounds=rounds, refine_iters=iters,
+                         cert_margin=float(cm) if cm else None)
     res = rp.replan(sc.start[:2], sc.goal[:2])
     print(f"build+compile {time.time() - t0:.1f}s front_ok={res.success} "
           f"first cert={res.cert_min:.3f}")

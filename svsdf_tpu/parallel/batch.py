@@ -416,11 +416,15 @@ def _staged_solve(shape, cfg, stages, n, max_linesearch,
     return x, res, traj
 
 
+#: per-round jax.debug.print tracing of the refine loop (dev knob)
+_REFINE_DEBUG = False
+
+
 def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
                     n_obs, x, head, tail, obstacles,
                     refine_rounds: int, refine_iters: int,
                     refine_esc: float, cert_margin: float,
-                    refine_fast: bool = True):
+                    refine_fast: bool = True, cost0=None):
     """In-dispatch certify-and-refine — the single-dispatch analogue of
     the pipeline's map-wide certify/escalate loop (pipeline.py
     `_attempt`; reference per-click product plan_manager.cpp:128-231).
@@ -439,7 +443,15 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
     from svsdf_tpu.ops.svsdf import svsdf_query
     from svsdf_tpu.utils import trajectory as trj
 
-    cert_cfg = stages[-1][0]        # certificate at polish fidelity
+    # Certificate fidelity: the polish stage's bf16/k128 scan can
+    # bracket the WRONG time window on long trajectories (measured
+    # 0.17 m binding error on sdTunnel; FIDELITY.json) — certificates
+    # use a denser f32 scan (error 0.000 on the worst map). One extra
+    # oracle pass per round; the SOLVE keeps the cheap schedule.
+    import dataclasses as _dc
+    cert_cfg = _dc.replace(stages[-1][0],
+                           coarse_n=max(192, stages[-1][0].coarse_n),
+                           scan_dtype=None)
     # refine solves need polish fidelity too: an A/B with the cheap
     # fast-stage oracle regressed sdPie's certificate from +0.14 to
     # -0.94 at nearly equal wall time — at batch 1 the rounds are
@@ -453,41 +465,89 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
     # sequential bisection to land productive steps
     ls_cand = solve_stage[3] if len(solve_stage) > 3 else 0
     frozen_ls = solve_stage[4] if len(solve_stage) > 4 else False
-    wp = jnp.asarray(cfg.weight_p, x.dtype)
-    sh = jnp.asarray(cfg.safety_hor, x.dtype)
-    cost = jnp.asarray(jnp.inf, x.dtype)
-    prev_cert = jnp.asarray(-jnp.inf, x.dtype)
-    for _ in range(refine_rounds):
+    wp_base = jnp.asarray(cfg.weight_p, x.dtype)
+    sh_base = jnp.asarray(cfg.safety_hor, x.dtype)
+    cost = jnp.asarray(jnp.inf if cost0 is None else cost0, x.dtype)
+    mult = jnp.asarray(1.0, x.dtype)
+    # best-so-far state: an escalated re-solve can WRECK the
+    # trajectory (measured: sdHeart -0.10 -> -1.14 in one round when
+    # the one-sided push slammed the sweep into walls outside the
+    # harvest); every round judges the previous solve against the
+    # best-known certificate and always re-solves FROM the best
+    # iterate, so the reported certificate is monotone.
+    best_x = x
+    best_cert = jnp.asarray(-jnp.inf, x.dtype)
+    for r in range(refine_rounds):
         times = forward_t(x[:n])
         wps = x[n:].reshape(n - 1, 3)
         traj = minco.solve(times, head, tail, wps)
         ts = jnp.linspace(0.0, jnp.sum(times), 4 * n + 1)
         sweep_xy, _, _ = trj.state_se2(traj, ts)
-        obstacles = _harvest_topm(occ_pts, sweep_xy, n_obs)
-        q = svsdf_query(shape, traj, obstacles, cert_cfg,
-                        with_inside=False)
-        cert = q.sdf.min()
+        obs_cand = _harvest_topm(occ_pts, sweep_xy, n_obs)
+        q_cand = svsdf_query(shape, traj, obs_cand, cert_cfg,
+                             with_inside=False)
+        cert_cand = q_cand.sdf.min()
+        better = cert_cand > best_cert
+        stalled = ~better                    # last solve didn't help
+        best_x = jnp.where(better, x, best_x)
+        best_cert = jnp.maximum(cert_cand, best_cert)
+        sdf_best = jnp.where(better, q_cand.sdf, sdf_best) \
+            if r > 0 else q_cand.sdf
+        obstacles = jnp.where(better, obs_cand, obstacles) \
+            if r > 0 else obs_cand
+        grad_best = jnp.where(better, q_cand.grad_world, grad_best) \
+            if r > 0 else q_cand.grad_world
+        x = best_x
+        cert = best_cert
         viol = cert < cert_margin
         # Stalled-equilibrium escape (the single-dispatch analogue of
-        # pipeline._nudge_waypoints): when escalation fails to improve
-        # the certificate, the lane sits at a two-sided penalty kink —
-        # physically push the waypoints nearest the worst violator
-        # along -grad(swept SDF) before re-solving.
-        i_worst = jnp.argmin(q.sdf)
-        stalled = viol & (cert <= prev_cert + 0.01)
-        g = q.grad_world[i_worst]
+        # pipeline._nudge_waypoints): when a round failed to improve
+        # the best certificate, physically push the waypoints nearest
+        # the worst violator along -grad(swept SDF) before re-solving.
+        i_worst = jnp.argmin(sdf_best)
+        g = grad_best[i_worst]
         gn = jnp.linalg.norm(g)
-        push = jnp.where(gn > 1e-6, (-cert + 0.1) / jnp.maximum(gn, 1e-6),
-                         0.0)
-        wdist = jnp.linalg.norm(wps[:, :2] - obstacles[i_worst][None],
-                                axis=1)
+        push = jnp.where(gn > 1e-6,
+                         (-cert + 0.1) / jnp.maximum(gn, 1e-6), 0.0)
+        wps_b = x[n:].reshape(n - 1, 3)
+        wdist = jnp.linalg.norm(wps_b[:, :2]
+                                - obstacles[i_worst][None], axis=1)
         fall = jnp.exp(-(wdist / 3.0) ** 2)[:, None]
-        wps_n = wps.at[:, :2].add(-g[None] * push * fall
-                                  * jnp.where(stalled, 1.0, 0.0))
+        # nudge only DEEP stalls: near-zero penetrations are better
+        # polished by weights alone — a 0.3 m waypoint shove on a
+        # -0.05 m violation wrecks more than it frees
+        nudge_on = viol & stalled & (r > 0) & (cert < -0.15)
+        wps_n = wps_b.at[:, :2].add(-g[None] * push * fall
+                                    * jnp.where(nudge_on, 1.0, 0.0))
         x = jnp.concatenate([x[:n], wps_n.reshape(-1)])
-        prev_cert = cert
-        wp = jnp.where(viol, wp * refine_esc, wp)
-        sh = jnp.where(viol, sh + 0.1, sh)
+        # PER-POINT GRADED escalation. A uniform (scalar) escalation
+        # provably cannot move an equilibrium balancing one deep
+        # violator against many shallow hinge margins on the opposite
+        # side — both sides scale identically (measured: sdHeart
+        # pinned at -0.64..-0.68 through wp x256). A BINARY per-point
+        # boost (mult on violators, base elsewhere) overshoots into
+        # walls that carried only base weight. The graded profile
+        # interpolates mult^severity by current depth, so near-margin
+        # points on the far side carry intermediate weight and brake
+        # the push.
+        mult = jnp.where(viol, mult * refine_esc, mult)
+        # severity profile (tuned on the two thin-margin maps):
+        # mult^1 deep inside, mult^0.5 at the margin (a depth-graded
+        # exponent left near-zero violators at ~4x even at mult 4096
+        # and the last centimeters never closed; full-mult at the
+        # margin overshot into base-weight walls), braking to 0 at
+        # margin + 0.3 m
+        severity = jnp.clip((cert_margin + 0.3 - sdf_best) / 0.6,
+                            0.0, 1.0)
+        wp = wp_base * mult ** severity
+        sh = sh_base + jnp.minimum(0.05 * (r + 1), 0.1) * (
+            sdf_best < cert_margin)
+        if _REFINE_DEBUG:
+            jax.debug.print(
+                "round {r}: cand={cc:.3f} best={c:.3f} stalled={s} "
+                "mult={m:.0f} n_viol={v}", r=r, cc=cert_cand, c=cert,
+                s=stalled, m=mult,
+                v=jnp.sum(sdf_best < cert_margin))
         prob = back_end.BackEndProblem(head, tail, obstacles)
         params = lbfgs.LBFGSParams(
             mem_size=cfg.mem_size, max_iterations=refine_iters,
@@ -515,6 +575,17 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
         # pay every round — lockstep batching semantics unchanged).
         x, cost = jax.lax.cond(viol, do_solve,
                                lambda x=x, cost=cost: (x, cost))
+    # final judgment: if the LAST solve regressed, return best_x
+    times = forward_t(x[:n])
+    traj = minco.solve(times, head, tail, x[n:].reshape(n - 1, 3))
+    ts = jnp.linspace(0.0, jnp.sum(times), 4 * n + 1)
+    sweep_xy, _, _ = trj.state_se2(traj, ts)
+    obs_f = _harvest_topm(occ_pts, sweep_xy, n_obs)
+    cert_f = svsdf_query(shape, traj, obs_f, cert_cfg,
+                         with_inside=False).sdf.min()
+    keep = cert_f >= best_cert
+    x = jnp.where(keep, x, best_x)
+    obstacles = jnp.where(keep, obs_f, obstacles)
     return x, obstacles, cost
 
 
@@ -608,7 +679,7 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
             x, obstacles, cost = _certify_refine(
                 shape, cfg, stages, n, max_linesearch, occ_pts, n_obs,
                 x, head, tail, obstacles, refine_rounds, refine_iters,
-                refine_esc, cert_margin, refine_fast)
+                refine_esc, cert_margin, refine_fast, cost0=cost)
             traj = minco.solve(forward_t(x[:n]), head, tail,
                                x[n:].reshape(n - 1, 3))
             # final certificate over a FRESH harvest at the refined
@@ -616,7 +687,11 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
             ts = jnp.linspace(0.0, jnp.sum(traj.durations), 4 * n + 1)
             sweep_xy, _, _ = trj.state_se2(traj, ts)
             obstacles = _harvest_topm(occ_pts, sweep_xy, n_obs)
-        cert = svsdf_query(shape, traj, obstacles, stages[-1][0],
+        import dataclasses as _dc
+        cert_cfg = _dc.replace(stages[-1][0],
+                               coarse_n=max(192, stages[-1][0].coarse_n),
+                               scan_dtype=None)
+        cert = svsdf_query(shape, traj, obstacles, cert_cfg,
                            with_inside=False).sdf.min()
         return x, cost, cert, obstacles, traj.coeffs, traj.durations
 

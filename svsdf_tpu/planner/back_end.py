@@ -106,7 +106,13 @@ def penalty_from_state(traj: trj.Trajectory, obstacles,
     sdf_lin = st.sdf0 + jnp.sum(st.g_rel0 * (p_rel - st.p_rel0),
                                 axis=-1)
     pen = smoothed_l1(sh - sdf_lin, mu)
-    return wp * jnp.sum(pen)
+    # wp / sh may be PER-POINT (M,) vectors: the certify-refine
+    # escalation boosts only the VIOLATING points' weights — a
+    # uniform escalation cannot move an equilibrium that balances one
+    # deep violator against many shallow hinge margins on the
+    # opposite side (both sides scale identically); an asymmetric one
+    # must clear the violator
+    return jnp.sum(wp * pen)
 
 
 def svsdf_penalty(shape: Shape2D, traj: trj.Trajectory, obstacles,

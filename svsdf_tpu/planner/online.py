@@ -83,16 +83,26 @@ class OnlineReplanner:
             config.occupancy_resolution, guard, n_deltas=5)
         self.trans_feas = kops.transition_feasibility(
             jnp.asarray(self.grid.occ2d), stencils)
-        # clearance shaping for the 3-D front end: a pure geodesic
-        # hugs walls, handing the optimizer zero-margin warm starts;
-        # this biases the SAME corridors mid-channel (cost up to
-        # w_clear extra steps for a wall-adjacent cell)
+        # Route shaping for the 3-D front end (two soft terms added to
+        # the per-cell entry cost):
+        #  * clearance — a pure geodesic hugs walls, handing the
+        #    optimizer zero-margin warm starts; bias mid-channel.
+        #  * tightness — cells where few yaw bins fit (feas.sum(0)
+        #    low) are corners the SMOOTHED spline cannot realize even
+        #    though the discrete transition-checked polyline can
+        #    (measured: sdHeart's bottom-right corner, 2-4 feasible
+        #    bins, settles at cert -0.10 however hard the refine
+        #    escalates; the roomier middle corridor the pipeline's A*
+        #    picks certifies at +0.80). Penalizing low pose freedom
+        #    routes around such corners.
         from svsdf_tpu.ops import esdf as esdf_ops
         es = esdf_ops.esdf(jnp.asarray(self.grid.occ2d),
                            config.occupancy_resolution)
         d_safe = config.safety_hor + 2.0 * config.occupancy_resolution
-        self.cell_cost = 1.0 * jnp.maximum(
-            0.0, 1.0 - es / d_safe).astype(jnp.float32)
+        nb = self.feas.sum(0).astype(jnp.float32)
+        tight = jnp.clip((6.0 - nb) / 6.0, 0.0, 1.0)
+        self.cell_cost = (1.0 * jnp.maximum(0.0, 1.0 - es / d_safe)
+                          + 3.0 * tight).astype(jnp.float32)
         ii, jj = np.nonzero(self.grid.occ2d)
         occ = np.stack(
             [self.grid.xyz_min[0] + (ii + 0.5) * self.grid.resolution,

@@ -213,11 +213,18 @@ def distance_field_3d(feas, trans_feas, goal_ij,
     d0 = d0.at[:, goal_ij[0], goal_ij[1]].set(
         jnp.where(feas[:, goal_ij[0], goal_ij[1]], 0.0, INF))
 
+    from svsdf_tpu.ops.kernels import DIRS8
     deltas = YAW_BFS_DELTAS[:D]
     edges = []          # (delta, delta_idx, (di, dj), dir_idx, cost)
+    # IMPORTANT: the stencil's direction axis is ordered by
+    # ops.kernels.DIRS8, which is a DIFFERENT enumeration from this
+    # module's _DIRS — indexing trans_feas with the wrong permutation
+    # admits genuinely-blocked sub-sweeps (caught as a -0.50 m
+    # penetration on a "transition-checked" sdHeart path)
     for d_idx, de in enumerate(deltas):
-        for m_idx, (di, dj) in enumerate(_DIRS):
-            c = float(_COSTS[m_idx]) + yaw_weight * abs(de)
+        for m_idx, (di, dj) in enumerate(DIRS8):
+            step = (2.0 ** 0.5) if (di != 0 and dj != 0) else 1.0
+            c = step + yaw_weight * abs(de)
             edges.append((int(de), d_idx, (int(di), int(dj)), m_idx, c))
 
     def _shift3(a, de, di, dj, fill):
@@ -275,12 +282,16 @@ def extract_path_3d(dist3, trans_feas, start_ij, max_len: int = 512,
     (path (max_len, 2), bins (max_len,), length, success). The start
     bin is the cheapest feasible bin at the start cell (the reference
     snaps the start yaw to a kernel bin as well)."""
-    from svsdf_tpu.ops.kernels import YAW_BFS_DELTAS
+    from svsdf_tpu.ops.kernels import DIRS8, YAW_BFS_DELTAS
     K, X, Y = dist3.shape
     D = trans_feas.shape[1]
     deltas = jnp.asarray(YAW_BFS_DELTAS[:D], jnp.int32)      # (D,)
-    dirs = jnp.asarray(_DIRS)                                # (8, 2)
-    costs = (jnp.asarray(_COSTS)[None, :]
+    # direction axis MUST follow ops.kernels.DIRS8 (the stencil's
+    # enumeration), not this module's _DIRS — see distance_field_3d
+    dirs = jnp.asarray(np.asarray(DIRS8, np.int32))          # (8, 2)
+    step_costs = jnp.asarray([np.sqrt(2.0) if (di and dj) else 1.0
+                              for di, dj in DIRS8], jnp.float32)
+    costs = (step_costs[None, :]
              + yaw_weight * jnp.abs(deltas.astype(jnp.float32))[:, None]
              )                                               # (D, 8)
 

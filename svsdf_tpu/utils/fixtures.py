@@ -127,7 +127,7 @@ def synthetic_scenario(name: str) -> Scenario:
 
 
 def list_deformable_scenarios():
-    return ["deformable_star"]
+    return ["deformable_heart", "deformable_star"]
 
 
 def deformable_scenario(name: str = "deformable_star") -> Scenario:
@@ -139,12 +139,37 @@ def deformable_scenario(name: str = "deformable_star") -> Scenario:
     evaluates at kernel_scale), while the SVSDF certificate sees the
     true time-varying sweep.
     """
-    if name != "deformable_star":
+    if name not in list_deformable_scenarios():
         raise KeyError(name)
     import jax.numpy as jnp
 
     from svsdf_tpu.models import shapes
 
+    if name == "deformable_heart":
+        # breathing sdHeart (max body radius ~4.6 m, +25% inflation):
+        # a SECOND deformable family exercising the scale hook on a
+        # curved, asymmetric SDF (sw_manager.hpp:495-518)
+        scale_fn = lambda t: 1.0 + 0.25 * jnp.sin(0.8 * t)  # noqa: E731
+        shape = shapes.make_scaled_shape("sdHeart", scale_fn,
+                                         kernel_scale=1.25)
+        half_gap, height = 6.4, 36.0
+        mid = height / 2.0
+        pts = []
+        for x in (24.5, 25.5):
+            for y in np.arange(0.5, height, 1.0):
+                if abs(y - mid) > half_gap:
+                    for z in (0.5, 1.5):
+                        pts.append((x, y, z))
+        pts += [(0.05, 0.05, 0.05), (49.9, height - 0.1, 1.9)]
+        cfg = PlannerConfig(inputdata="shapes/sdHeart.obj",
+                            kernel_size=15, kernel_yaw_num=12,
+                            occupancy_resolution=1.0, safety_hor=0.4,
+                            loadStartEnd=False)
+        return Scenario(name="deformable_heart", config=cfg,
+                        map_points=np.asarray(pts),
+                        start=np.asarray([6.5, mid + 0.5, 0.0]),
+                        goal=np.asarray([43.5, mid + 0.5, 0.0]),
+                        shape=shape)
     scale_fn = lambda t: 1.0 + 0.35 * jnp.sin(0.9 * t)    # noqa: E731
     shape = shapes.make_scaled_shape("star", scale_fn,
                                      kernel_scale=1.35)
