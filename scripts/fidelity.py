@@ -69,15 +69,26 @@ def run_one(name: str) -> dict:
     pts = jnp.asarray(np.asarray(obstacles)[:160, :2], jnp.float32)
     rec["n_obstacles"] = int(pts.shape[0])
 
-    tp = SVSDFConfig(coarse_n=128, refine_rounds=2, refine_n=16,
-                     gsip_iters=3, gsip_coarse_n=32,
-                     gsip_refine_rounds=1, gsip_topk=8,
-                     scan_dtype="bfloat16")
+    # "cert" mirrors the ACTUAL certificate config of the e2e path
+    # (parallel/batch.py: polish stage with k>=192 f32 scan); the
+    # penalty row measures the cheap bf16/topk SOLVE oracle
+    tp_cert = SVSDFConfig(coarse_n=192, refine_rounds=2, refine_n=16,
+                          gsip_iters=3, gsip_coarse_n=32,
+                          gsip_refine_rounds=1, gsip_topk=8,
+                          scan_dtype=None)
+    tp_pen = SVSDFConfig(coarse_n=128, refine_rounds=2, refine_n=16,
+                         gsip_iters=3, gsip_coarse_n=32,
+                         gsip_refine_rounds=1, gsip_topk=8,
+                         scan_dtype="bfloat16")
     oracle = SVSDFConfig(coarse_n=512, refine_rounds=3, refine_n=32,
                          gsip_iters=8, gsip_coarse_n=96,
                          gsip_refine_rounds=1, gsip_topk=0,
                          scan_dtype=None)
-    for label, with_inside in (("cert", False), ("penalty", True)):
+    import dataclasses as _dc
+    tp_refine = _dc.replace(tp_pen, coarse_n=192)
+    for label, with_inside, tp in (("cert", False, tp_cert),
+                                   ("penalty", True, tp_pen),
+                                   ("refine", True, tp_refine)):
         a = np.asarray(svsdf_query(planner.shape, traj, pts, tp,
                                    with_inside=with_inside).sdf,
                        np.float64)

@@ -115,6 +115,18 @@ EXPS = {
                                   stages_variant(4, 4, frozen=True)),
     "frozen_b512": lambda: run_exp("frozen_b512", 512,
                                    stages_variant(frozen=True)),
+    # round-4 frontier: the bench operating point (frozen ls=4, b512)
+    # +/- one knob each. Run "r4compact" under SVSDF_LBFGS_COMPACT=1.
+    "r4base": lambda: run_exp("r4base", 512,
+                              stages_variant(4, 4, frozen=True)),
+    "r4interp": lambda: run_exp("r4interp", 512,
+                                stages_variant(4, 4, interp=256,
+                                               frozen=True)),
+    "r4interp512": lambda: run_exp("r4interp512", 512,
+                                   stages_variant(4, 4, interp=512,
+                                                  frozen=True)),
+    "r4compact": lambda: run_exp("r4compact", 512,
+                                 stages_variant(4, 4, frozen=True)),
 }
 
 

@@ -440,6 +440,8 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
 
     Returns (x, obstacles, cost) after the last round.
     """
+    import dataclasses as _dc
+
     from svsdf_tpu.ops.svsdf import svsdf_query
     from svsdf_tpu.utils import trajectory as trj
 
@@ -448,7 +450,6 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
     # 0.17 m binding error on sdTunnel; FIDELITY.json) — certificates
     # use a denser f32 scan (error 0.000 on the worst map). One extra
     # oracle pass per round; the SOLVE keeps the cheap schedule.
-    import dataclasses as _dc
     cert_cfg = _dc.replace(stages[-1][0],
                            coarse_n=max(192, stages[-1][0].coarse_n),
                            scan_dtype=None)
@@ -457,7 +458,12 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
     # -0.94 at nearly equal wall time — at batch 1 the rounds are
     # sequential-depth-bound, so oracle economy buys nothing
     solve_stage = stages[0] if refine_fast else stages[-1]
-    svs_cfg = solve_stage[0]
+    # the refine solve's oracle needs a denser coarse scan than the
+    # staged solve's: a k128 bracket can MISS a 14 cm penetration
+    # outright (sdRoundedCross, FIDELITY.json penalty sign flip), and
+    # a refine loop steering by a blind oracle spins
+    svs_cfg = _dc.replace(solve_stage[0],
+                          coarse_n=max(192, solve_stage[0].coarse_n))
     ls = solve_stage[2] if len(solve_stage) > 2 else max_linesearch
     # NOTE the width-for-depth parallel surrogate search was tried
     # here and regressed sdPie's certificate from +0.14 to -0.48 for

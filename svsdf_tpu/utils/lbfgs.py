@@ -19,10 +19,14 @@ fixed-bound bisection line search; `vmap`-able for scenario batches
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+#: default for LBFGSParams.compact=None (env knob for on-chip A/Bs)
+COMPACT_DEFAULT = os.environ.get("SVSDF_LBFGS_COMPACT", "") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,8 +61,9 @@ class LBFGSParams:
     #: solves — a handful of batched matmuls at sequential depth O(1)
     #: per iteration, vs 2m serialized (B, dim) vdot scan steps.
     #: Mathematically identical H (tests pin agreement to f32 eps);
-    #: the win is dispatch depth on TPU at large batch.
-    compact: bool = False
+    #: the win is dispatch depth on TPU at large batch. None resolves
+    #: to the module default (SVSDF_LBFGS_COMPACT=1 env for A/Bs).
+    compact: bool | None = None
     #: stream per-iteration (it, f, ||g||_inf) to the debugbus from
     #: INSIDE the compiled loop via jax.experimental.io_callback — the
     #: reference's DBSendOptiStep/DBSendLogCost live wire (§3.5). The
@@ -316,7 +321,9 @@ def minimize_scheduled(fun: Callable, x0,
 
     def step(c: Carry) -> Carry:
         fun_it = lambda x: fun(x, c.it)
-        apply_h = compact_apply if p.compact else two_loop
+        use_compact = (COMPACT_DEFAULT if p.compact is None
+                       else p.compact)
+        apply_h = compact_apply if use_compact else two_loop
         d = -apply_h(c.ga, c.s_hist, c.y_hist, c.rho, c.n_corr, c.head)
         # safeguard: ensure descent direction; else steepest descent
         dg = jnp.vdot(d, c.ga)
