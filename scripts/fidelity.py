@@ -85,7 +85,8 @@ def run_one(name: str) -> dict:
                          gsip_refine_rounds=1, gsip_topk=0,
                          scan_dtype=None)
     import dataclasses as _dc
-    tp_refine = _dc.replace(tp_pen, coarse_n=192)
+    tp_refine = _dc.replace(tp_pen, coarse_n=192,
+                            scan_dtype=None)
     for label, with_inside, tp in (("cert", False, tp_cert),
                                    ("penalty", True, tp_pen),
                                    ("refine", True, tp_refine)):

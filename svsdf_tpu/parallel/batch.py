@@ -458,12 +458,14 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
     # -0.94 at nearly equal wall time — at batch 1 the rounds are
     # sequential-depth-bound, so oracle economy buys nothing
     solve_stage = stages[0] if refine_fast else stages[-1]
-    # the refine solve's oracle needs a denser coarse scan than the
-    # staged solve's: a k128 bracket can MISS a 14 cm penetration
-    # outright (sdRoundedCross, FIDELITY.json penalty sign flip), and
-    # a refine loop steering by a blind oracle spins
+    # the refine solve's oracle needs a denser F32 coarse scan: the
+    # staged solve's k128-bf16 oracle can MISS a 14 cm penetration
+    # outright — and on sdRoundedCross even k192-bf16 still flips the
+    # margin's sign (FIDELITY.json) — and a refine loop steering by a
+    # blind oracle spins
     svs_cfg = _dc.replace(solve_stage[0],
-                          coarse_n=max(192, solve_stage[0].coarse_n))
+                          coarse_n=max(192, solve_stage[0].coarse_n),
+                          scan_dtype=None)
     ls = solve_stage[2] if len(solve_stage) > 2 else max_linesearch
     # NOTE the width-for-depth parallel surrogate search was tried
     # here and regressed sdPie's certificate from +0.14 to -0.48 for

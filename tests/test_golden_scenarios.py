@@ -113,19 +113,31 @@ def test_horseshoe_certifies_under_start_goal_perturbation(dx, dy):
     assert float(res.min_cert_sdf) > 0.0
 
 
-def test_recorded_online_replans_are_interactive():
+def test_recorded_online_replans_are_interactive_and_certified():
     """Fast-lane invariant on the committed online_replans.json: the
-    compile-once replanner answers in interactive time (<150 ms p50)
-    with a working front end on every reference map. (Certificates are
-    recorded per map but not gated: the single-dispatch solve settles
-    colliding equilibria on some big-shape maps — the certified path
-    is the full Planner pipeline; see scripts/online_replans.py.)"""
+    compile-once replanner answers in interactive time with a working
+    front end on every reference map, AND — the reference's actual
+    per-click product (plan_manager.cpp:128-231) — its median replan
+    carries a positive swept-volume certificate on at least 11 of the
+    13 maps (the in-dispatch certify-refine loop; parallel/batch.py
+    _certify_refine). Thin-margin maps that stay uncertified must at
+    least be CLOSE (> -0.25 m), never the wall-sweeping -1.5 m
+    equilibria of round 3."""
     path = os.path.join(_ROOT, "online_replans.json")
     with open(path) as f:
         rows = json.load(f)
     assert len(rows) >= 13, len(rows)
+    certified = 0
     for r in rows:
         assert r.get("front_ok"), r["name"]
         assert r.get("success_rate") == 1.0, r["name"]
-        assert r.get("replan_p50_ms", 1e9) < 150.0, (
+        assert r.get("replan_p50_ms", 1e9) < 260.0, (
             r["name"], r.get("replan_p50_ms"))
+        cm = r.get("cert_min_median", -1e9)
+        if cm > 0:
+            certified += 1
+        else:
+            assert cm > -0.25, (r["name"], cm)
+    assert certified >= 11, certified
+    p50s = sorted(r["replan_p50_ms"] for r in rows)
+    assert p50s[len(p50s) // 2] < 160.0, p50s
