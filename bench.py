@@ -327,13 +327,13 @@ def bench_replan_latency(n_pieces=8, n_obs=64, iters=50, reps=15):
         float(out.cost.sum())
         if i > 0:                  # drop the compile run
             lat.append(time.perf_counter() - t0)
-    res = {"backend_solve_p50_s": float(np.median(lat))}
-    try:
-        res.update(_real_replan(reps=10))
-    except Exception as e:                         # noqa: BLE001
-        print(f"# real-map replan skipped: {str(e)[:120]}",
-              file=sys.stderr)
-    return res
+    return {"backend_solve_p50_s": float(np.median(lat))}
+
+
+def bench_replan_map():
+    """Real-map certified replan — its own SECTION so a cold-cache
+    build overrun is killed without losing the backend_solve number."""
+    return _real_replan(reps=10)
 
 
 def _real_replan(reps=10):
@@ -367,17 +367,22 @@ _SECTIONS = {
     "plans": bench_plans,
     "grid": bench_grid_queries,
     "replan": bench_replan_latency,
+    "replan_map": bench_replan_map,
     "e2e": bench_e2e,
 }
 
 #: per-section wall budgets (s). plans is the primary metric and gets
 #: the deepest budget; totals stay under BENCH_BUDGET_S (default 1080)
 #: so the driver's own timeout — whatever it is — lands after at least
-#: one headline print, not before. Cold-compile-cache evidence
-#: (BENCH_CACHE_DIR pointed at an empty dir, round 3): plans 164 s,
-#: grid 147 s, replan ~35 s, e2e 120 s — every section fits its
-#: budget from scratch; grid's is padded for margin.
-_BUDGETS = {"plans": 600, "grid": 210, "replan": 480, "e2e": 330}
+#: one headline print, not before. Warm-cache evidence (round 4, after
+#: the ladder moved to 512 and replan grew the real-map
+#: OnlineReplanner): plans 178 s, grid 137 s, e2e 132 s, replan 417 s
+#: (dominated by the replanner build; a COLD cache can push that
+#: build alone past this budget — the section is ordered last so an
+#: overrun only costs its own numbers, and the backend_solve part
+#: lands before the real-map part starts).
+_BUDGETS = {"plans": 600, "grid": 210, "replan": 120,
+            "replan_map": 520, "e2e": 330}
 
 
 def _child(sections) -> None:
@@ -478,6 +483,7 @@ def _headline(res: dict, partial: bool) -> str:
     plans = res.get("plans", {})
     grid = res.get("grid", {})
     replan = res.get("replan", {})
+    replan_map = res.get("replan_map", {})
     e2e = res.get("e2e", {})
     nan = float("nan")
     v = plans.get("plans_per_s", nan)
@@ -501,9 +507,9 @@ def _headline(res: dict, partial: bool) -> str:
             "e2e_plans_per_s": r(e2e.get("e2e_per_s", nan)),
             "e2e_frontend_success_rate": r(e2e.get("e2e_ok", nan), 3),
             "replan_latency_p50_ms": r(
-                replan.get("replan_p50_s", nan) * 1e3),
+                replan_map.get("replan_p50_s", nan) * 1e3),
             "replan_cert_median": r(
-                replan.get("replan_cert_median", nan), 3),
+                replan_map.get("replan_cert_median", nan), 3),
             "backend_solve_p50_ms": r(
                 replan.get("backend_solve_p50_s", nan) * 1e3),
             "svsdf_grid_queries_per_s": r(
@@ -538,7 +544,7 @@ def main():
             # during the remaining sections still records a number
             print(_headline(res, partial=True), flush=True)
 
-    pending = ["plans", "grid", "replan", "e2e"]
+    pending = ["plans", "grid", "e2e", "replan", "replan_map"]
     while pending and time.time() < deadline - 30:
         pending = _stream_sections(pending, res, deadline, on_result)
         if pending:

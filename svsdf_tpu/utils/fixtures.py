@@ -127,7 +127,7 @@ def synthetic_scenario(name: str) -> Scenario:
 
 
 def list_deformable_scenarios():
-    return ["deformable_heart", "deformable_star"]
+    return ["deformable_heart", "deformable_rhombus", "deformable_star"]
 
 
 def deformable_scenario(name: str = "deformable_star") -> Scenario:
@@ -166,6 +166,35 @@ def deformable_scenario(name: str = "deformable_star") -> Scenario:
                             occupancy_resolution=1.0, safety_hor=0.4,
                             loadStartEnd=False)
         return Scenario(name="deformable_heart", config=cfg,
+                        map_points=np.asarray(pts),
+                        start=np.asarray([6.5, mid + 0.5, 0.0]),
+                        goal=np.asarray([43.5, mid + 0.5, 0.0]),
+                        shape=shape)
+    if name == "deformable_rhombus":
+        # breathing sdRhombus: long-axis ~4.4 m but narrow across, so
+        # it threads the 3.6 m half-gap SIDEWAYS while inflating 20%
+        # — the tight deformable demo where wall voxels land inside
+        # the harvest band and the certify-refine machinery is live
+        # (the heart variant's round footprint cannot thread tighter
+        # than its max-scale width, so its gate is roomy by
+        # construction)
+        scale_fn = lambda t: 1.0 + 0.2 * jnp.sin(0.8 * t)  # noqa: E731
+        shape = shapes.make_scaled_shape("sdRhombus", scale_fn,
+                                         kernel_scale=1.2)
+        half_gap, height = 3.6, 28.0
+        mid = height / 2.0
+        pts = []
+        for x in (24.5, 25.5):
+            for y in np.arange(0.5, height, 1.0):
+                if abs(y - mid) > half_gap:
+                    for z in (0.5, 1.5):
+                        pts.append((x, y, z))
+        pts += [(0.05, 0.05, 0.05), (49.9, height - 0.1, 1.9)]
+        cfg = PlannerConfig(inputdata="shapes/sdRhombus.obj",
+                            kernel_size=13, kernel_yaw_num=12,
+                            occupancy_resolution=1.0, safety_hor=0.4,
+                            loadStartEnd=False)
+        return Scenario(name="deformable_rhombus", config=cfg,
                         map_points=np.asarray(pts),
                         start=np.asarray([6.5, mid + 0.5, 0.0]),
                         goal=np.asarray([43.5, mid + 0.5, 0.0]),
