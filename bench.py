@@ -331,9 +331,13 @@ def bench_replan_latency(n_pieces=8, n_obs=64, iters=50, reps=15):
 
 
 def bench_replan_map():
-    """Real-map certified replan — its own SECTION so a cold-cache
-    build overrun is killed without losing the backend_solve number."""
-    return _real_replan(reps=10)
+    """Real-map certified replan — its own LAST section: the
+    replanner build dominates and can exceed the whole remaining
+    budget on a cold cache, in which case this section alone is
+    sacrificed. The authoritative per-map record is the committed
+    online_replans.json (scripts/online_replans.py); this live number
+    exists to catch drift."""
+    return _real_replan(reps=6)
 
 
 def _real_replan(reps=10):
