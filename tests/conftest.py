@@ -10,7 +10,11 @@ import sys
 
 # The session presets JAX_PLATFORMS=axon (remote TPU); tests must run on
 # the local CPU backend, so force-override rather than setdefault.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# SVSDF_TEST_TPU=1 opts out for the on-device slow-lane tests (e.g.
+# the compiled Pallas parity check, which has no CPU lowering).
+_ON_TPU = os.environ.get("SVSDF_TEST_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,8 +27,9 @@ import jax  # noqa: E402
 # The axon sitecustomize force-sets jax_platforms="axon,cpu" via
 # jax.config at interpreter start, which overrides the env var; set the
 # config value itself to pin the local CPU backend for tests.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: repeat test runs skip recompiles.
 os.makedirs("/root/.cache/jax_comp", exist_ok=True)
