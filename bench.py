@@ -378,13 +378,14 @@ _SECTIONS = {
 #: per-section wall budgets (s). plans is the primary metric and gets
 #: the deepest budget; totals stay under BENCH_BUDGET_S (default 1080)
 #: so the driver's own timeout — whatever it is — lands after at least
-#: one headline print, not before. Warm-cache evidence (round 4, after
-#: the ladder moved to 512 and replan grew the real-map
-#: OnlineReplanner): plans 178 s, grid 137 s, e2e 132 s, replan 417 s
-#: (dominated by the replanner build; a COLD cache can push that
-#: build alone past this budget — the section is ordered last so an
-#: overrun only costs its own numbers, and the backend_solve part
-#: lands before the real-map part starts).
+#: one headline print, not before. COLD-cache evidence at the round-4
+#: operating point (fresh container, empty XLA cache, v5e, ADVICE r3):
+#: plans 201 s, grid 143 s, e2e 200 s, replan 84 s, replan_map 428 s
+#: — 1056 s total, every section inside its budget with rc 0 and
+#: partial=false. replan_map (dominated by the sdHeart replanner
+#: build) is ordered last so a slower cold build only costs its own
+#: numbers, and the backend_solve part lands before the real-map part
+#: starts.
 _BUDGETS = {"plans": 600, "grid": 210, "replan": 120,
             "replan_map": 520, "e2e": 330}
 
