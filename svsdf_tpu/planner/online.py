@@ -56,7 +56,8 @@ class OnlineReplanner:
                  conservative_yaw_substeps: int = 1,
                  refine_rounds: int = 2, refine_iters: int = 12,
                  refine_esc: float = 4.0,
-                 cert_margin: Optional[float] = None):
+                 cert_margin: Optional[float] = None,
+                 matmul_precision: str = "highest"):
         self.config = config
         self.n = n_pieces
         self.shape = shapes.shape_from_objpath(config.inputdata,
@@ -66,43 +67,53 @@ class OnlineReplanner:
             config.sta_threshold)
         safemargin = max(config.front_end_safeh,
                          config.occupancy_resolution / 2.0)
-        kernels = kops.rasterize_shape_kernels(
-            self.shape, config.kernel_size, config.kernel_yaw_num,
-            config.occupancy_resolution, safemargin,
-            yaw_substeps=conservative_yaw_substeps)
-        self.feas = kops.feasibility_maps(jnp.asarray(self.grid.occ2d),
-                                          kernels)
-        # sub-swept-volume transition maps for the 3-D front end
-        # (yaw in the search graph; wavefront.distance_field_3d).
-        # Guard box covers the shape at the father pose one cell away;
-        # rotation rate limited to +-2 bins per cell move.
-        guard = (config.kernel_size // 2 + 2) * \
-            config.occupancy_resolution
-        stencils = kops.transition_stencils(
-            self.shape, config.kernel_yaw_num,
-            config.occupancy_resolution, guard, n_deltas=5)
-        self.trans_feas = kops.transition_feasibility(
-            jnp.asarray(self.grid.occ2d), stencils)
-        # Route shaping for the 3-D front end (two soft terms added to
-        # the per-cell entry cost):
-        #  * clearance — a pure geodesic hugs walls, handing the
-        #    optimizer zero-margin warm starts; bias mid-channel.
-        #  * tightness — cells where few yaw bins fit (feas.sum(0)
-        #    low) are corners the SMOOTHED spline cannot realize even
-        #    though the discrete transition-checked polyline can
-        #    (measured: sdHeart's bottom-right corner, 2-4 feasible
-        #    bins, settles at cert -0.10 however hard the refine
-        #    escalates; the roomier middle corridor the pipeline's A*
-        #    picks certifies at +0.80). Penalizing low pose freedom
-        #    routes around such corners.
-        from svsdf_tpu.ops import esdf as esdf_ops
-        es = esdf_ops.esdf(jnp.asarray(self.grid.occ2d),
-                           config.occupancy_resolution)
-        d_safe = config.safety_hor + 2.0 * config.occupancy_resolution
-        nb = self.feas.sum(0).astype(jnp.float32)
-        tight = jnp.clip((6.0 - nb) / 6.0, 0.0, 1.0)
-        self.cell_cost = (1.0 * jnp.maximum(0.0, 1.0 - es / d_safe)
-                          + 3.0 * tight).astype(jnp.float32)
+        # The precompute below runs under the SAME matmul-precision
+        # context as replan() (see the numerics note at the bottom of
+        # __init__): the feasibility/transition CONVOLUTIONS decide
+        # borderline route cells, and bf16-rounded convs hand the
+        # refine loop routes whose escalated solves settle a
+        # hair's-breadth colliding (measured on sdRoundedCross: the
+        # solve-only context left jittered replans pinned at -0.002;
+        # precision on the whole path flips them to +0.2).
+        with jax.default_matmul_precision(matmul_precision):
+            kernels = kops.rasterize_shape_kernels(
+                self.shape, config.kernel_size, config.kernel_yaw_num,
+                config.occupancy_resolution, safemargin,
+                yaw_substeps=conservative_yaw_substeps)
+            self.feas = kops.feasibility_maps(
+                jnp.asarray(self.grid.occ2d), kernels)
+            # sub-swept-volume transition maps for the 3-D front end
+            # (yaw in the search graph; wavefront.distance_field_3d).
+            # Guard box covers the shape at the father pose one cell
+            # away; rotation rate limited to +-2 bins per cell move.
+            guard = (config.kernel_size // 2 + 2) * \
+                config.occupancy_resolution
+            stencils = kops.transition_stencils(
+                self.shape, config.kernel_yaw_num,
+                config.occupancy_resolution, guard, n_deltas=5)
+            self.trans_feas = kops.transition_feasibility(
+                jnp.asarray(self.grid.occ2d), stencils)
+            # Route shaping for the 3-D front end (two soft terms added
+            # to the per-cell entry cost):
+            #  * clearance — a pure geodesic hugs walls, handing the
+            #    optimizer zero-margin warm starts; bias mid-channel.
+            #  * tightness — cells where few yaw bins fit (feas.sum(0)
+            #    low) are corners the SMOOTHED spline cannot realize
+            #    even though the discrete transition-checked polyline
+            #    can (measured: sdHeart's bottom-right corner, 2-4
+            #    feasible bins, settles at cert -0.10 however hard the
+            #    refine escalates; the roomier middle corridor the
+            #    pipeline's A* picks certifies at +0.80). Penalizing
+            #    low pose freedom routes around such corners.
+            from svsdf_tpu.ops import esdf as esdf_ops
+            es = esdf_ops.esdf(jnp.asarray(self.grid.occ2d),
+                               config.occupancy_resolution)
+            d_safe = (config.safety_hor
+                      + 2.0 * config.occupancy_resolution)
+            nb = self.feas.sum(0).astype(jnp.float32)
+            tight = jnp.clip((6.0 - nb) / 6.0, 0.0, 1.0)
+            self.cell_cost = (1.0 * jnp.maximum(0.0, 1.0 - es / d_safe)
+                              + 3.0 * tight).astype(jnp.float32)
         ii, jj = np.nonzero(self.grid.occ2d)
         occ = np.stack(
             [self.grid.xyz_min[0] + (ii + 0.5) * self.grid.resolution,
@@ -124,6 +135,17 @@ class OnlineReplanner:
         self.refine_esc = refine_esc
         self.cert_margin = (0.25 * config.safety_hor
                             if cert_margin is None else cert_margin)
+        # TPU numerics: at the default matmul precision the MXU rounds
+        # f32 operands to bf16, and the refine loop's escalated solves
+        # settle at a DETERMINISTIC hair's-breadth-colliding equilibrium
+        # on the thin-margin maps (measured sdRoundedCross: cert pinned
+        # at -0.002 over 15 jittered replans; the same code on f32 CPU
+        # certifies at +0.35). Tracing the dispatch under "highest"
+        # flips 80% of those replans positive (median +0.215) AND
+        # nearly halves p50 (283->166 ms — certified lanes early-exit
+        # the remaining refine rounds). Batch-1 replans are
+        # dispatch-bound, so the extra MXU passes are free.
+        self.matmul_precision = matmul_precision
 
     def _cell(self, p) -> np.ndarray:
         idx = self.grid.grid_index(np.asarray(
@@ -133,13 +155,15 @@ class OnlineReplanner:
     def replan(self, start_xy, goal_xy) -> ReplanResult:
         s = jnp.asarray(self._cell(start_xy))[None]
         g = jnp.asarray(self._cell(goal_xy))[None]
-        out = pbatch.plan_batch_e2e(
-            self.shape, self.feas, self.occ_pts, s, g, self.config,
-            self.stages, self.n, self.n_obs, self.grid.resolution,
-            self.xy_min, refine_rounds=self.refine_rounds,
-            refine_iters=self.refine_iters, refine_esc=self.refine_esc,
-            cert_margin=float(self.cert_margin),
-            trans_feas=self.trans_feas, cell_cost=self.cell_cost)
+        with jax.default_matmul_precision(self.matmul_precision):
+            out = pbatch.plan_batch_e2e(
+                self.shape, self.feas, self.occ_pts, s, g, self.config,
+                self.stages, self.n, self.n_obs, self.grid.resolution,
+                self.xy_min, refine_rounds=self.refine_rounds,
+                refine_iters=self.refine_iters,
+                refine_esc=self.refine_esc,
+                cert_margin=float(self.cert_margin),
+                trans_feas=self.trans_feas, cell_cost=self.cell_cost)
         # ONE bulk host readback: the trajectory comes out of the
         # jitted program (an eager host-side minco re-solve here cost
         # ~1.3 s of tiny tunneled dispatches), and scalar reads are

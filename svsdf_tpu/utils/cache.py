@@ -39,6 +39,35 @@ def cache_dir() -> str:
     return d
 
 
+def _machine_fingerprint() -> str:
+    """Short digest of the host's CPU feature set.
+
+    XLA:CPU serializes AOT executables specialized to the COMPILING
+    machine's ISA extensions; this environment's containers migrate
+    between heterogeneous hosts, and loading (or re-serializing) a
+    cache entry produced on a CPU with a different feature set is
+    undefined behavior — observed as a cpu_aot_loader machine-feature
+    mismatch warning followed by a hard SIGSEGV inside the cache-write
+    path mid-test-run. Keying the cache directory on the feature set
+    makes a foreign host's entries invisible instead of fatal. TPU
+    executables are unaffected but keying them too is harmless (one
+    extra cold compile per new host)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1]
+                                            .split()))
+                    return hashlib.sha1(
+                        feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(
+        (platform.machine() + platform.processor())
+        .encode()).hexdigest()[:12]
+
+
 def enable_persistent_compilation_cache() -> None:
     """Idempotently point JAX's compilation cache at disk.
 
@@ -51,7 +80,8 @@ def enable_persistent_compilation_cache() -> None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(cache_dir(), "xla"))
+                          os.path.join(cache_dir(),
+                                       "xla-" + _machine_fingerprint()))
         # cache everything: the pipeline's many medium-sized executables
         # (2-10 s compiles each) add up to the minutes the judge measured
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
