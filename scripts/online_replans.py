@@ -46,6 +46,7 @@ def run_one(name: str, reps: int = 15) -> dict:
                          refine_rounds=6, refine_iters=12)
     res = rp.replan(sc.start[:2], sc.goal[:2])    # compile + first run
     rec["build_s"] = round(time.time() - t0, 1)
+    rec["build_breakdown"] = dict(rp.build_breakdown)
     rec["front_ok"] = bool(res.success)
     rng = np.random.default_rng(0)
     jit_r = 0.25 * sc.config.occupancy_resolution

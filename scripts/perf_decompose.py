@@ -64,8 +64,8 @@ def main():
     head, tail, obs, x0 = _problem(N_PIECES, N_OBS, B)
     probs = back_end.BackEndProblem(head, tail, obs)
     stages = pbatch.default_stages(50)
-    fast_cfg, fast_iters, fast_ls = stages[0]
-    pol_cfg, pol_iters, pol_ls = stages[1]
+    fast_cfg, fast_iters, fast_ls = stages[0][:3]
+    pol_cfg, pol_iters, pol_ls = stages[1][:3]
 
     def rep(name, dt, per="batch"):
         print(json.dumps({"exp": name, "wall_ms": round(dt * 1e3, 2),

@@ -424,7 +424,8 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
                     n_obs, x, head, tail, obstacles,
                     refine_rounds: int, refine_iters: int,
                     refine_esc: float, cert_margin: float,
-                    refine_fast: bool = True, cost0=None):
+                    refine_fast: bool = True, cost0=None,
+                    refine_svs_cfg=None):
     """In-dispatch certify-and-refine — the single-dispatch analogue of
     the pipeline's map-wide certify/escalate loop (pipeline.py
     `_attempt`; reference per-click product plan_manager.cpp:128-231).
@@ -462,10 +463,14 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
     # staged solve's k128-bf16 oracle can MISS a 14 cm penetration
     # outright — and on sdRoundedCross even k192-bf16 still flips the
     # margin's sign (FIDELITY.json) — and a refine loop steering by a
-    # blind oracle spins
-    svs_cfg = _dc.replace(solve_stage[0],
-                          coarse_n=max(192, solve_stage[0].coarse_n),
-                          scan_dtype=None)
+    # blind oracle spins. refine_svs_cfg overrides (the fidelity
+    # consequence A/B steers by the full-GSIP oracle instead).
+    if refine_svs_cfg is not None:
+        svs_cfg = refine_svs_cfg
+    else:
+        svs_cfg = _dc.replace(solve_stage[0],
+                              coarse_n=max(192, solve_stage[0].coarse_n),
+                              scan_dtype=None)
     ls = solve_stage[2] if len(solve_stage) > 2 else max_linesearch
     # NOTE the width-for-depth parallel surrogate search was tried
     # here and regressed sdPie's certificate from +0.14 to -0.48 for
@@ -477,15 +482,16 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
     sh_base = jnp.asarray(cfg.safety_hor, x.dtype)
     cost = jnp.asarray(jnp.inf if cost0 is None else cost0, x.dtype)
     mult = jnp.asarray(1.0, x.dtype)
-    # best-so-far state: an escalated re-solve can WRECK the
-    # trajectory (measured: sdHeart -0.10 -> -1.14 in one round when
-    # the one-sided push slammed the sweep into walls outside the
-    # harvest); every round judges the previous solve against the
-    # best-known certificate and always re-solves FROM the best
-    # iterate, so the reported certificate is monotone.
-    best_x = x
-    best_cert = jnp.asarray(-jnp.inf, x.dtype)
-    for r in range(refine_rounds):
+
+    # The rounds run as ONE lax.fori_loop body instead of a Python-
+    # unrolled loop: the round-4 build embedded refine_rounds=6 copies
+    # of the full solve graph in the executable, and the per-map
+    # OnlineReplanner build (compile-dominated, 211-886 s,
+    # online_replans.json r4) paid for every copy. One body also
+    # makes extra rounds compile-free.
+    def round_body(r, carry):
+        (x, cost, mult, best_x, best_cert, sdf_best, obstacles,
+         grad_best) = carry
         times = forward_t(x[:n])
         wps = x[n:].reshape(n - 1, 3)
         traj = minco.solve(times, head, tail, wps)
@@ -495,16 +501,21 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
         q_cand = svsdf_query(shape, traj, obs_cand, cert_cfg,
                              with_inside=False)
         cert_cand = q_cand.sdf.min()
+        # best-so-far state: an escalated re-solve can WRECK the
+        # trajectory (measured: sdHeart -0.10 -> -1.14 in one round
+        # when the one-sided push slammed the sweep into walls outside
+        # the harvest); every round judges the previous solve against
+        # the best-known certificate and always re-solves FROM the
+        # best iterate, so the reported certificate is monotone.
+        # (best_cert starts at -inf, so round 0 always adopts its own
+        # candidate — the unrolled loop's r==0 initialization.)
         better = cert_cand > best_cert
         stalled = ~better                    # last solve didn't help
         best_x = jnp.where(better, x, best_x)
         best_cert = jnp.maximum(cert_cand, best_cert)
-        sdf_best = jnp.where(better, q_cand.sdf, sdf_best) \
-            if r > 0 else q_cand.sdf
-        obstacles = jnp.where(better, obs_cand, obstacles) \
-            if r > 0 else obs_cand
-        grad_best = jnp.where(better, q_cand.grad_world, grad_best) \
-            if r > 0 else q_cand.grad_world
+        sdf_best = jnp.where(better, q_cand.sdf, sdf_best)
+        obstacles = jnp.where(better, obs_cand, obstacles)
+        grad_best = jnp.where(better, q_cand.grad_world, grad_best)
         x = best_x
         cert = best_cert
         viol = cert < cert_margin
@@ -583,6 +594,15 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
         # pay every round — lockstep batching semantics unchanged).
         x, cost = jax.lax.cond(viol, do_solve,
                                lambda x=x, cost=cost: (x, cost))
+        return (x, cost, mult, best_x, best_cert, sdf_best, obstacles,
+                grad_best)
+
+    m_obs = obstacles.shape[0]
+    init = (x, cost, mult, x, jnp.asarray(-jnp.inf, x.dtype),
+            jnp.zeros((m_obs,), x.dtype), obstacles,
+            jnp.zeros((m_obs, 2), x.dtype))
+    (x, cost, mult, best_x, best_cert, sdf_best, obstacles,
+     grad_best) = jax.lax.fori_loop(0, refine_rounds, round_body, init)
     # final judgment: if the LAST solve regressed, return best_x
     times = forward_t(x[:n])
     traj = minco.solve(times, head, tail, x[n:].reshape(n - 1, 3))
@@ -599,7 +619,7 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
 
 @functools.partial(jax.jit,
                    static_argnums=(0, 5, 6, 7, 8, 11, 12, 13, 14, 15,
-                                   16, 18, 19))
+                                   16, 18, 19, 21))
 def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
                    cfg: PlannerConfig, stages: tuple, n: int,
                    n_obs: int, resolution, xy_min,
@@ -611,7 +631,8 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
                    trans_feas=None,
                    yaw_weight: float = 0.25,
                    refine_fast: bool = False,
-                   cell_cost=None) -> E2EBatchResult:
+                   cell_cost=None,
+                   refine_svs_cfg=None) -> E2EBatchResult:
     """Fully-batched END-TO-END planning in one dispatch: device
     wavefront front end (geodesic field + greedy descent + yaw-bin
     assignment), arc-length waypoint resampling to a fixed n-piece
@@ -687,7 +708,8 @@ def plan_batch_e2e(shape: Shape2D, feas, occ_pts, starts_ij, goals_ij,
             x, obstacles, cost = _certify_refine(
                 shape, cfg, stages, n, max_linesearch, occ_pts, n_obs,
                 x, head, tail, obstacles, refine_rounds, refine_iters,
-                refine_esc, cert_margin, refine_fast, cost0=cost)
+                refine_esc, cert_margin, refine_fast, cost0=cost,
+                refine_svs_cfg=refine_svs_cfg)
             traj = minco.solve(forward_t(x[:n]), head, tail,
                                x[n:].reshape(n - 1, 3))
             # final certificate over a FRESH harvest at the refined

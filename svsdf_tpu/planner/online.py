@@ -57,7 +57,14 @@ class OnlineReplanner:
                  refine_rounds: int = 2, refine_iters: int = 12,
                  refine_esc: float = 4.0,
                  cert_margin: Optional[float] = None,
-                 matmul_precision: str = "highest"):
+                 matmul_precision: str = "highest",
+                 refine_svs_cfg=None):
+        import time as _time
+        _t0 = _time.perf_counter()
+        #: build-phase wall-clock breakdown (VERDICT r4 item 5: what
+        #: part of the cold build is grid vs kernel precompute vs the
+        #: first replan's compile) — finished by the first replan()
+        self.build_breakdown: dict = {}
         self.config = config
         self.n = n_pieces
         self.shape = shapes.shape_from_objpath(config.inputdata,
@@ -65,6 +72,9 @@ class OnlineReplanner:
         self.grid = GridMap.from_points(
             map_points, config.occupancy_resolution,
             config.sta_threshold)
+        self.build_breakdown["grid_s"] = round(
+            _time.perf_counter() - _t0, 1)
+        _t0 = _time.perf_counter()
         safemargin = max(config.front_end_safeh,
                          config.occupancy_resolution / 2.0)
         # The precompute below runs under the SAME matmul-precision
@@ -114,6 +124,10 @@ class OnlineReplanner:
             tight = jnp.clip((6.0 - nb) / 6.0, 0.0, 1.0)
             self.cell_cost = (1.0 * jnp.maximum(0.0, 1.0 - es / d_safe)
                               + 3.0 * tight).astype(jnp.float32)
+        jax.block_until_ready((self.feas, self.trans_feas,
+                               self.cell_cost))
+        self.build_breakdown["precompute_s"] = round(
+            _time.perf_counter() - _t0, 1)
         ii, jj = np.nonzero(self.grid.occ2d)
         occ = np.stack(
             [self.grid.xyz_min[0] + (ii + 0.5) * self.grid.resolution,
@@ -135,6 +149,9 @@ class OnlineReplanner:
         self.refine_esc = refine_esc
         self.cert_margin = (0.25 * config.safety_hor
                             if cert_margin is None else cert_margin)
+        #: optional refine-solve oracle override (the fidelity
+        #: consequence A/B passes the full-GSIP f32 config here)
+        self.refine_svs_cfg = refine_svs_cfg
         # TPU numerics: at the default matmul precision the MXU rounds
         # f32 operands to bf16, and the refine loop's escalated solves
         # settle at a DETERMINISTIC hair's-breadth-colliding equilibrium
@@ -153,6 +170,9 @@ class OnlineReplanner:
         return np.asarray(idx[:2], np.int32)
 
     def replan(self, start_xy, goal_xy) -> ReplanResult:
+        import time as _time
+        _first = "first_replan_s" not in self.build_breakdown
+        _t0 = _time.perf_counter()
         s = jnp.asarray(self._cell(start_xy))[None]
         g = jnp.asarray(self._cell(goal_xy))[None]
         with jax.default_matmul_precision(self.matmul_precision):
@@ -163,7 +183,8 @@ class OnlineReplanner:
                 refine_iters=self.refine_iters,
                 refine_esc=self.refine_esc,
                 cert_margin=float(self.cert_margin),
-                trans_feas=self.trans_feas, cell_cost=self.cell_cost)
+                trans_feas=self.trans_feas, cell_cost=self.cell_cost,
+                refine_svs_cfg=self.refine_svs_cfg)
         # ONE bulk host readback: the trajectory comes out of the
         # jitted program (an eager host-side minco re-solve here cost
         # ~1.3 s of tiny tunneled dispatches), and scalar reads are
@@ -172,6 +193,10 @@ class OnlineReplanner:
                                out.cert_min[0], out.obstacles[0],
                                out.coeffs[0], out.durations[0]))
         ok, cost, cert, obstacles, coeffs, durations = host
+        if _first:
+            # dominated by the plan_batch_e2e compile on a cold cache
+            self.build_breakdown["first_replan_s"] = round(
+                _time.perf_counter() - _t0, 1)
         traj = trj.Trajectory(coeffs, durations)
         return ReplanResult(bool(ok), traj, float(cost), float(cert),
                             np.asarray(obstacles))

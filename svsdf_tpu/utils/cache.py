@@ -55,7 +55,10 @@ def _machine_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 lists ISA extensions under "flags"; aarch64
+                # under "Features" — match either so the cross-host
+                # guard works on both (ADVICE r4)
+                if line.lower().startswith(("flags", "features")):
                     feats = " ".join(sorted(line.split(":", 1)[1]
                                             .split()))
                     return hashlib.sha1(

@@ -52,4 +52,8 @@ def test_refine_oracle_error_stays_inside_hinge_zone():
         # the hinge's active zone.
         optimistic = max(0.0, r["refine_margin_throughput"]
                          - r["refine_margin_oracle"])
-        assert optimistic < 0.35, r
+        # bound tightened from 0.35 to measured-worst (0.156 m,
+        # sdOrientedVesica) + margin (VERDICT r4 weak #6); the
+        # consequence A/B (same certified outcome under economy vs f32
+        # steering) is recorded in FIDELITY.json `_refine_ab`
+        assert optimistic < 0.20, r
