@@ -74,11 +74,12 @@ def run_one(name: str) -> dict:
     # penalty row measures the cheap bf16/topk SOLVE oracle
     tp_cert = SVSDFConfig(coarse_n=192, refine_rounds=2, refine_n=16,
                           gsip_iters=3, gsip_coarse_n=32,
-                          gsip_refine_rounds=1, gsip_topk=8,
+                          gsip_refine_rounds=1, gsip_topk=6,
                           scan_dtype=None)
+    # topk=6 since round 5 (the shipped default_stages polish knee)
     tp_pen = SVSDFConfig(coarse_n=128, refine_rounds=2, refine_n=16,
                          gsip_iters=3, gsip_coarse_n=32,
-                         gsip_refine_rounds=1, gsip_topk=8,
+                         gsip_refine_rounds=1, gsip_topk=6,
                          scan_dtype="bfloat16")
     oracle = SVSDFConfig(coarse_n=512, refine_rounds=3, refine_n=32,
                          gsip_iters=8, gsip_coarse_n=96,
@@ -108,6 +109,61 @@ def run_one(name: str) -> dict:
     return rec
 
 
+def refine_ab(name: str = "sdOrientedVesica", reps: int = 5) -> dict:
+    """Consequence A/B for the refine-tier oracle economy (VERDICT r4
+    weak #6): run the online replanner's certify-refine loop on the
+    worst-fidelity map twice — steered by the default ECONOMY refine
+    oracle (k192 f32 scan, gsip_iters=3/topk=8) and by the FULL-GSIP
+    f32 oracle — and record whether both reach the same
+    certified/uncertified outcome. Appends a `_refine_ab` row to
+    FIDELITY.json (pinned by tests/test_fidelity.py)."""
+    import numpy as np
+
+    from svsdf_tpu.ops.svsdf import SVSDFConfig
+    from svsdf_tpu.parallel import batch as pbatch
+    from svsdf_tpu.planner.online import OnlineReplanner
+    from svsdf_tpu.utils import fixtures
+
+    sc = fixtures.load_any(name)
+    full = SVSDFConfig(coarse_n=256, refine_rounds=2, refine_n=16,
+                       gsip_iters=8, gsip_coarse_n=96,
+                       gsip_refine_rounds=1, gsip_topk=0,
+                       scan_dtype=None)
+    out = {"name": "_refine_ab", "map": name, "reps": reps}
+    for tag, ro in (("economy", None), ("full_gsip", full)):
+        t0 = time.time()
+        rp = OnlineReplanner(sc.config, sc.map_points, n_pieces=12,
+                             n_obs=160,
+                             stages=pbatch.default_stages(80),
+                             refine_rounds=6, refine_iters=12,
+                             refine_svs_cfg=ro)
+        rp.replan(sc.start[:2], sc.goal[:2])
+        rng = np.random.default_rng(0)
+        jit_r = 0.25 * sc.config.occupancy_resolution
+        certs = []
+        for _ in range(reps):
+            s = np.asarray(sc.start[:2]) + rng.uniform(-jit_r, jit_r, 2)
+            g = np.asarray(sc.goal[:2]) + rng.uniform(-jit_r, jit_r, 2)
+            certs.append(rp.replan(s, g).cert_min)
+        out[f"cert_median_{tag}"] = round(float(np.median(certs)), 4)
+        out[f"wall_s_{tag}"] = round(time.time() - t0, 1)
+    out["same_outcome"] = bool(
+        (out["cert_median_economy"] > 0)
+        == (out["cert_median_full_gsip"] > 0))
+    path = os.environ.get("SVSDF_FIDELITY_RESULTS", "FIDELITY.json")
+    try:
+        with open(path) as f:
+            rows = [r for r in json.load(f)
+                    if r.get("name") != "_refine_ab"]
+    except (OSError, ValueError):
+        rows = []
+    rows.append(out)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main():
     want = os.environ.get("JAX_PLATFORMS")
     if want:
@@ -115,6 +171,11 @@ def main():
         jax.config.update("jax_platforms", want)
     from svsdf_tpu.utils import cache, fixtures
     cache.enable_persistent_compilation_cache()
+
+    if "--refine-ab" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        refine_ab(*(args or ["sdOrientedVesica"]))
+        return
 
     names = sys.argv[1:] or fixtures.list_scenarios()
     out = []

@@ -106,11 +106,64 @@ def bench_fn(fn, args, reps=3):
     return float(np.median(times))
 
 
+def _pinned_child(n: int) -> None:
+    """Child entry for the core-pinned DP weak-scaling measurement:
+    runs the n-device DP solve with the PROCESS restricted (by the
+    parent's taskset) to n physical cores, so the n=1 baseline cannot
+    borrow the whole host through XLA:CPU's intra-op threading — the
+    confound behind round-4's unexplained 0.752 n=2 efficiency."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from bench import _problem, _BENCH_MEM_SIZE
+    from svsdf_tpu.models import shapes
+    from svsdf_tpu.ops.svsdf import SVSDFConfig
+    from svsdf_tpu.parallel import batch as pbatch
+    from svsdf_tpu.utils.config import PlannerConfig
+
+    shape = shapes.make_shape("sdHeart")
+    cfg = PlannerConfig(mem_size=_BENCH_MEM_SIZE)
+    svs = SVSDFConfig(coarse_n=64, refine_rounds=1, refine_n=8,
+                      use_inside=False)
+    devices = jax.devices()
+    mesh = Mesh(np.asarray(devices[:n]).reshape(n, 1), ("scn", "obs"))
+    b = 8 * n
+    head, tail, obs, x0 = _problem(8, 32, b)
+    solver = pbatch.sharded_plan_batch(shape, mesh, cfg, svs, 8,
+                                       max_iters=20)
+    dt = bench_fn(solver, (x0, head, tail, obs))
+    print(json.dumps({"pinned_n": n, "wall_s": round(dt, 4),
+                      "plans_per_s": round(b / dt, 2)}), flush=True)
+
+
+def _pinned_rate(n: int):
+    """Run _pinned_child under `taskset -c 0..n-1`; parse its rate."""
+    import subprocess
+    env = dict(os.environ, MS_PINNED_CHILD=str(n))
+    cores = ",".join(str(i) for i in range(n))
+    try:
+        out = subprocess.run(
+            ["taskset", "-c", cores, sys.executable,
+             os.path.abspath(__file__)], env=env, timeout=1200,
+            capture_output=True, text=True, check=False)
+        for line in out.stdout.splitlines():
+            if line.startswith("{") and "pinned_n" in line:
+                return json.loads(line)
+    except Exception as e:                             # noqa: BLE001
+        return {"pinned_n": n, "error": str(e)[:120]}
+    return {"pinned_n": n, "error": "no output",
+            "stderr": out.stderr[-300:]}
+
+
 def main():
     want = os.environ.get("JAX_PLATFORMS")
     if want:
         import jax
         jax.config.update("jax_platforms", want)
+    if os.environ.get("MS_PINNED_CHILD"):
+        _pinned_child(int(os.environ["MS_PINNED_CHILD"]))
+        return
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -209,6 +262,77 @@ def main():
                 ici_s_per_iter / (ici_s_per_iter + b * v5e_iter_s),
                 6), **stats})
         print(json.dumps(rows["obs_sharded"][-1]), flush=True)
+
+    # ---- core-pinned DP weak scaling (n <= physical cores): the
+    # n-device measurement runs in a subprocess restricted to n cores,
+    # so the 1-device baseline cannot borrow the whole host via
+    # XLA:CPU intra-op threads (the round-4 0.752 n=2 confound)
+    rows["data_parallel_pinned"] = []
+    base = None
+    for n in range(1, min(n_cores, 8) + 1):
+        rec = _pinned_rate(n)
+        if "plans_per_s" in rec:
+            if base is None:
+                base = rec["plans_per_s"]
+            rec["efficiency_vs_pinned_base"] = round(
+                rec["plans_per_s"] / (n * base), 3)
+        rows["data_parallel_pinned"].append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # ---- END-TO-END data-parallel sharding (sharded_plan_batch_e2e:
+    # wavefront front end + staged solve, scenarios over 'scn'):
+    # collective accounting at n = 1..8 + wall clock (oversubscription
+    # flagged). The e2e program is front-end + solve with NO cross-
+    # scenario coupling, so the design gate is zero cross-device
+    # collectives, like plain DP.
+    from svsdf_tpu.ops import kernels as kops
+    from svsdf_tpu.utils import mapgen
+    from svsdf_tpu.utils.gridmap import GridMap
+    from svsdf_tpu.planner import wavefront
+
+    pts = mapgen.map_forest(res=0.5, seed=3, n_trees=6, extent=18.0)
+    grid = GridMap.from_points(pts, 1.0, 1)
+    kernels = kops.rasterize_shape_kernels(shape, 15, 8, 1.0, 0.5)
+    feas = kops.feasibility_maps(jnp.asarray(grid.occ2d), kernels)
+    free = np.asarray(jnp.any(feas, axis=0))
+    ii, jj = np.nonzero(grid.occ2d)
+    occ_pts = jnp.asarray(np.stack(
+        [grid.xyz_min[0] + (ii + 0.5) * grid.resolution,
+         grid.xyz_min[1] + (jj + 0.5) * grid.resolution], -1),
+        jnp.float32)
+    fi0, fj0 = np.nonzero(free)
+    seed_cell = jnp.asarray([fi0[len(fi0) // 2], fj0[len(fj0) // 2]])
+    dist = np.asarray(wavefront.distance_field(jnp.asarray(free),
+                                               seed_cell))
+    fi, fj = np.nonzero(free & (dist < 1e8))
+    rng = np.random.default_rng(0)
+    stages = pbatch.default_stages(12)
+    per_dev_e2e = 2
+    rows["e2e_data_parallel"] = []
+    base_rate = None
+    for n in (1, 2, 4, 8):
+        mesh = Mesh(np.asarray(devices[:n]), ("scn",))
+        b = per_dev_e2e * n
+        pick = lambda: np.stack([fi, fj], -1)[
+            rng.integers(0, len(fi), b)]
+        starts = jnp.asarray(pick(), jnp.int32)
+        goals = jnp.asarray(pick(), jnp.int32)
+        runner = pbatch.sharded_plan_batch_e2e(
+            shape, mesh, cfg, stages, 6, 16, grid.resolution,
+            jnp.asarray(grid.xyz_min[:2], jnp.float32))
+        args = (feas, occ_pts, starts, goals)
+        comp = runner.lower(*args).compile()
+        stats = collective_stats(comp)
+        dt = bench_fn(runner, args)
+        rate = b / dt
+        if base_rate is None:
+            base_rate = rate
+        rows["e2e_data_parallel"].append({
+            "n_devices": n, "batch": b, "wall_s": round(dt, 4),
+            "plans_per_s": round(rate, 2),
+            "efficiency": round(rate / (n * base_rate), 3),
+            "cores_oversubscribed": n > n_cores, **stats})
+        print(json.dumps(rows["e2e_data_parallel"][-1]), flush=True)
 
     out = os.environ.get("SVSDF_SCALING_RESULTS",
                          "MULTICHIP_SCALING.json")

@@ -95,14 +95,25 @@ def main():
     probs = back_end.BackEndProblem(head, tail, obs)
 
     def stages_variant(compact=None, ls_cand=0, ls=4, frozen=True,
-                       interp=0, mem=None):
-        st = pbatch.default_stages(ITERS)
+                       interp=0, mem=None, iters=ITERS, coarse=None,
+                       topk=None, polish_iters=None, polish_refine=None):
+        st = pbatch.default_stages(iters)
         out = []
-        for s in st:
-            scfg = s[0]
+        for i, s in enumerate(st):
+            scfg, n_it = s[0], s[1]
+            last = i == len(st) - 1
             if interp:
                 scfg = dc.replace(scfg, refine_interp_n=interp)
-            out.append((scfg, s[1], ls, ls_cand, frozen))
+            if coarse and i == 0:
+                scfg = dc.replace(scfg, coarse_n=coarse)
+            if topk is not None and last:
+                scfg = dc.replace(scfg, gsip_topk=topk)
+            if polish_refine is not None and last:
+                scfg = dc.replace(scfg, refine_rounds=polish_refine)
+            if polish_iters is not None:
+                n_it = (polish_iters if last
+                        else iters - polish_iters)
+            out.append((scfg, n_it, ls, ls_cand, frozen))
         return tuple(out)
 
     variants = {
@@ -118,6 +129,19 @@ def main():
                                interp=512),
         "interp": dict(interp=512),
         "compact_interp": dict(compact=True, interp=512),
+        "pf_i40": dict(ls_cand=4, ls=2, iters=40),
+        "pf_i35": dict(ls_cand=4, ls=2, iters=35),
+        "pf_k64": dict(ls_cand=4, ls=2, coarse=64),
+        "pf_i40_k64": dict(ls_cand=4, ls=2, iters=40, coarse=64),
+        "pf_i40_p5": dict(ls_cand=4, ls=2, iters=40, polish_iters=5),
+        "pf_i40_r1": dict(ls_cand=4, ls=2, iters=40, polish_refine=1),
+        "pf_i40_t6": dict(ls_cand=4, ls=2, iters=40, topk=6),
+        "pf_i40_p5r1": dict(ls_cand=4, ls=2, iters=40, polish_iters=5,
+                            polish_refine=1),
+        "pf_i40_t6_c": dict(ls_cand=4, ls=2, iters=40, topk=6,
+                            compact=True),
+        "pf_i40_t5": dict(ls_cand=4, ls=2, iters=40, topk=5),
+        "pf_i45_t6": dict(ls_cand=4, ls=2, iters=45, topk=6),
     }
     want = sys.argv[1:] or list(variants)
 
@@ -127,7 +151,12 @@ def main():
         cfg = PlannerConfig(mem_size=mem)
         stages = stages_variant(ls_cand=kw.get("ls_cand", 0),
                                 ls=kw.get("ls", 4),
-                                interp=kw.get("interp", 0))
+                                interp=kw.get("interp", 0),
+                                iters=kw.get("iters", ITERS),
+                                coarse=kw.get("coarse"),
+                                topk=kw.get("topk"),
+                                polish_iters=kw.get("polish_iters"),
+                                polish_refine=kw.get("polish_refine"))
         compact = kw.get("compact")
         if compact is not None:
             os.environ["SVSDF_LBFGS_COMPACT"] = "1" if compact else ""

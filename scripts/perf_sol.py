@@ -38,12 +38,15 @@ import jax.numpy as jnp
 
 
 def timed(fn, *args, reps=5):
-    out = fn(*args)
+    """fn(*args, eps) with a FRESH eps per rep: identical re-dispatches
+    can be served from the axon result cache and 'measure' the tunnel,
+    not the device (bench.py measurement-hygiene note)."""
+    out = fn(*args, 0.0)
     jax.block_until_ready(out)
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*args, 1e-7 * (i + 1))
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
@@ -70,10 +73,13 @@ def elementwise_ladder(n=1 << 24, chain=64):
     for name, op in ops.items():
         for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
             @jax.jit
-            def run(v, op=op, dt=dt):
-                v = v.astype(dt)
+            def run(v, eps, op=op, dt=dt):
+                # eps enters INSIDE the chain so XLA cannot fold the
+                # chain into one affine op (and each rep's input is
+                # unique — axon result-cache hygiene)
+                v = (v + eps).astype(dt)
                 for _ in range(chain):
-                    v = op(v)
+                    v = op(v + jnp.asarray(eps, dt))
                 return v.sum(dtype=jnp.float32)
 
             dtm = timed(run, x)
@@ -94,11 +100,12 @@ def sdf_eval_rate(m=4096, k=256, chain=32):
 
     for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         @jax.jit
-        def run(px, py, dt=dt):
+        def run(px, py, eps, dt=dt):
             x, y = px.astype(dt), py.astype(dt)
             acc = jnp.zeros((), jnp.float32)
             for i in range(chain):
-                s = shape.sdf_xy_t(x + i * 1e-6, y, 0.0)
+                s = shape.sdf_xy_t(x + jnp.asarray(eps + i * 1e-6, dt),
+                                   y, 0.0)
                 acc += s.sum(dtype=jnp.float32)
             return acc
 
@@ -129,8 +136,8 @@ def coarse_scan_rate(m=32768, k=96):
         cfgd = SVSDFConfig(coarse_n=k, refine_rounds=0, scan_dtype=dt)
 
         @jax.jit
-        def run(p):
-            s, t = svsdf.tstar_search_batch(shape, traj, p, cfgd)
+        def run(p, eps):
+            s, t = svsdf.tstar_search_batch(shape, traj, p + eps, cfgd)
             return s.sum()
 
         dtm = timed(run, pts)

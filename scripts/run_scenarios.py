@@ -43,6 +43,8 @@ def run_one(name: str, solver: str = "lbfgs", warm: bool = False) -> dict:
     rec = {"name": name}
     if solver != "lbfgs":
         rec["solver"] = solver
+    import jax
+    rec["backend"] = jax.default_backend()
     t0 = time.time()
     svs = SVSDFConfig(coarse_n=128, refine_rounds=2, gsip_iters=6,
                       gsip_coarse_n=64, gsip_refine_rounds=1, gsip_topk=16,

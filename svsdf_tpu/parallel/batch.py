@@ -110,11 +110,30 @@ def plan_batch_staged(shape: Shape2D, x0_b, problems_b,
 
 def default_stages(total_iters: int = 50, ls: int = 4,
                    frozen_ls: bool = True,
-                   scan_dtype: str | None = "bfloat16") -> tuple:
+                   scan_dtype: str | None = "bfloat16",
+                   ls_candidates: int = 4) -> tuple:
     """The v5e-tuned two-stage schedule: 80% outside-only SVSDF
     (coarse_n=96, one refine round), 20% full GSIP polish — with the
     FROZEN-ORACLE line search (one SVSDF oracle evaluation per
-    iteration; trials re-price only the carried linearization).
+    iteration; trials re-price only the carried linearization) run as
+    a PARALLEL surrogate search since round 5 (ls_candidates trials in
+    one batched eval, sequential depth 1).
+
+    Round-5 adoption A/B (batch 512, 50 iters, hifi-scored median
+    cost, same-session): frozen sequential ls=4 1099.2 plans/s /
+    cost 2739.5; frozen PARALLEL C=4 1307.8 / 2721.7 (+19% at LOWER
+    cost); C=3 1299.2 / 2717.7; C=6 1201.5 / 2721.9. The r3 negative
+    result for the parallel search was for the NON-frozen variant,
+    where each trial paid a full oracle pass; on the cheap surrogate
+    the C-fold width is nearly free and removing the bisection's
+    sequential depth dominates. Stacking the compact L-BFGS apply
+    (utils/lbfgs.py) gives 1346.7 / 2721.0. Iteration ladder at the
+    adopted point: 40 iters 1599.3 / 2735.7 (cost-neutral vs the r4
+    record, the bench operating point); 35 iters 1787.9 / 2764.6
+    (+0.9% cost). Shrinking the fast-stage scan to k=64 does NOT pay
+    (1257.7 at equal cost — the parabola bracket coarsens and the
+    line search eats the savings). ls_candidates=0 restores the
+    round-4 sequential-bisection behavior.
 
     Frozen-oracle adoption (round-3 A/B, batch 256, 50 iters, hifi-
     scored median cost — same-session so directly comparable):
@@ -163,20 +182,23 @@ def default_stages(total_iters: int = 50, ls: int = 4,
     batches / low-latency replans."""
     fast = SVSDFConfig(coarse_n=96, refine_rounds=0, refine_n=16,
                        use_inside=False, scan_dtype=scan_dtype)
-    # gsip_topk=8: GSIP only the 8 most-interior obstacle points per
-    # eval (the polish stage's dominant cost). Measured same-session
-    # at batch 256 (plans/s / hifi cost median): topk=0 438/2747,
-    # topk=16 589/2721, topk=8 898/2765, topk=4 1099/2787 — topk=8
-    # doubles throughput at +0.7% cost (different-local-minima
-    # noise); topk=16 is the quality-first point (beats the
-    # full-GSIP baseline on both axes).
+    # gsip_topk=6: GSIP only the 6 most-interior obstacle points per
+    # eval (the polish stage's dominant cost — its cost+grad eval
+    # measures ~11x the fast stage's, scripts/perf_decompose.py r5).
+    # Round-3 ladder at batch 256 (plans/s / hifi cost median):
+    # topk=0 438/2747, topk=16 589/2721, topk=8 898/2765,
+    # topk=4 1099/2787. Round-5 at the adopted parallel-frozen point
+    # (batch 512, 40 iters): topk=8 1599.3/2735.7, topk=6
+    # 1819.6/2746.9, topk=5 1942.2/2753.3 — 6 is the knee (+14%
+    # throughput inside the local-minima noise band; 5 starts paying
+    # real cost).
     polish = SVSDFConfig(coarse_n=128, refine_rounds=2, refine_n=16,
                          gsip_iters=3, gsip_coarse_n=32,
-                         gsip_refine_rounds=1, gsip_topk=8,
+                         gsip_refine_rounds=1, gsip_topk=6,
                          scan_dtype=scan_dtype)
     k = max(total_iters // 5, 5)
-    return ((fast, total_iters - k, ls, 0, frozen_ls),
-            (polish, k, ls, 0, frozen_ls))
+    return ((fast, total_iters - k, ls, ls_candidates, frozen_ls),
+            (polish, k, ls, ls_candidates, frozen_ls))
 
 
 def default_stages_lowlat(total_iters: int = 50,
@@ -468,15 +490,26 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
     if refine_svs_cfg is not None:
         svs_cfg = refine_svs_cfg
     else:
+        # gsip_topk pinned at >=8: round 5 trimmed the THROUGHPUT
+        # polish to topk=6, and refine solves inheriting it regressed
+        # sdHeart's median certificate -0.054 -> -0.118 and
+        # sdRoundedX's -0.02 -> -0.163 — the escalated interior
+        # pushes need the wider GSIP coverage even though the staged
+        # solve doesn't
+        tk = solve_stage[0].gsip_topk
         svs_cfg = _dc.replace(solve_stage[0],
                               coarse_n=max(192, solve_stage[0].coarse_n),
-                              scan_dtype=None)
+                              scan_dtype=None,
+                              gsip_topk=max(8, tk) if tk else 0)
     ls = solve_stage[2] if len(solve_stage) > 2 else max_linesearch
     # NOTE the width-for-depth parallel surrogate search was tried
     # here and regressed sdPie's certificate from +0.14 to -0.48 for
     # only -18% latency — escalated-weight refine steps need the deep
-    # sequential bisection to land productive steps
-    ls_cand = solve_stage[3] if len(solve_stage) > 3 else 0
+    # sequential bisection to land productive steps. Pinned to 0 (not
+    # inherited from the stage tuple) since round 5 adopted the
+    # parallel-frozen search for the THROUGHPUT stages: the refine
+    # solves must keep the sequential search regardless.
+    ls_cand = 0
     frozen_ls = solve_stage[4] if len(solve_stage) > 4 else False
     wp_base = jnp.asarray(cfg.weight_p, x.dtype)
     sh_base = jnp.asarray(cfg.safety_hor, x.dtype)
@@ -489,9 +522,20 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
     # OnlineReplanner build (compile-dominated, 211-886 s,
     # online_replans.json r4) paid for every copy. One body also
     # makes extra rounds compile-free.
-    def round_body(r, carry):
+    def round_body(_, carry):
+        # whole-round short-circuit: once the best certificate clears
+        # the margin, the round is a no-op — on the batch-1 replan
+        # path this skips the HARVEST + CERTIFICATE oracle too (they
+        # used to run every round even after certification, putting a
+        # rounds-proportional floor under certified maps' p50), so
+        # raising refine_rounds is free for maps that certify early.
+        # (Round 0 always runs: best_cert starts at -inf.)
+        return jax.lax.cond(carry[4] >= cert_margin,
+                            lambda c: c, _round_full, carry)
+
+    def _round_full(carry):
         (x, cost, mult, best_x, best_cert, sdf_best, obstacles,
-         grad_best) = carry
+         grad_best, r) = carry
         times = forward_t(x[:n])
         wps = x[n:].reshape(n - 1, 3)
         traj = minco.solve(times, head, tail, wps)
@@ -594,15 +638,17 @@ def _certify_refine(shape, cfg, stages, n, max_linesearch, occ_pts,
         # pay every round — lockstep batching semantics unchanged).
         x, cost = jax.lax.cond(viol, do_solve,
                                lambda x=x, cost=cost: (x, cost))
+        # r counts EXECUTED rounds (skipped rounds don't escalate)
         return (x, cost, mult, best_x, best_cert, sdf_best, obstacles,
-                grad_best)
+                grad_best, r + 1)
 
     m_obs = obstacles.shape[0]
     init = (x, cost, mult, x, jnp.asarray(-jnp.inf, x.dtype),
             jnp.zeros((m_obs,), x.dtype), obstacles,
-            jnp.zeros((m_obs, 2), x.dtype))
+            jnp.zeros((m_obs, 2), x.dtype), jnp.asarray(0))
     (x, cost, mult, best_x, best_cert, sdf_best, obstacles,
-     grad_best) = jax.lax.fori_loop(0, refine_rounds, round_body, init)
+     grad_best, _) = jax.lax.fori_loop(0, refine_rounds, round_body,
+                                       init)
     # final judgment: if the LAST solve regressed, return best_x
     times = forward_t(x[:n])
     traj = minco.solve(times, head, tail, x[n:].reshape(n - 1, 3))

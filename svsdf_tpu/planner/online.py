@@ -58,7 +58,9 @@ class OnlineReplanner:
                  refine_esc: float = 4.0,
                  cert_margin: Optional[float] = None,
                  matmul_precision: str = "highest",
-                 refine_svs_cfg=None):
+                 refine_svs_cfg=None,
+                 clearance_weight: float = 1.0,
+                 tightness_weight: float = 3.0):
         import time as _time
         _t0 = _time.perf_counter()
         #: build-phase wall-clock breakdown (VERDICT r4 item 5: what
@@ -80,11 +82,10 @@ class OnlineReplanner:
         # The precompute below runs under the SAME matmul-precision
         # context as replan() (see the numerics note at the bottom of
         # __init__): the feasibility/transition CONVOLUTIONS decide
-        # borderline route cells, and bf16-rounded convs hand the
+        # borderline route cells, and bf16-rounded convs can hand the
         # refine loop routes whose escalated solves settle a
-        # hair's-breadth colliding (measured on sdRoundedCross: the
-        # solve-only context left jittered replans pinned at -0.002;
-        # precision on the whole path flips them to +0.2).
+        # hair's-breadth colliding. Measured per-map outcomes live in
+        # online_replans.json.
         with jax.default_matmul_precision(matmul_precision):
             kernels = kops.rasterize_shape_kernels(
                 self.shape, config.kernel_size, config.kernel_yaw_num,
@@ -122,8 +123,15 @@ class OnlineReplanner:
                       + 2.0 * config.occupancy_resolution)
             nb = self.feas.sum(0).astype(jnp.float32)
             tight = jnp.clip((6.0 - nb) / 6.0, 0.0, 1.0)
-            self.cell_cost = (1.0 * jnp.maximum(0.0, 1.0 - es / d_safe)
-                              + 3.0 * tight).astype(jnp.float32)
+            # weights are per-map knobs (reference parity: per-shape
+            # YAMLs): maps whose refine loop pins at a colliding
+            # equilibrium in a tight corner need a HEAVIER tightness
+            # weight so the front end routes through the corridor the
+            # smoothed spline can actually realize
+            self.cell_cost = (clearance_weight
+                              * jnp.maximum(0.0, 1.0 - es / d_safe)
+                              + tightness_weight * tight).astype(
+                                  jnp.float32)
         jax.block_until_ready((self.feas, self.trans_feas,
                                self.cell_cost))
         self.build_breakdown["precompute_s"] = round(
@@ -154,14 +162,16 @@ class OnlineReplanner:
         self.refine_svs_cfg = refine_svs_cfg
         # TPU numerics: at the default matmul precision the MXU rounds
         # f32 operands to bf16, and the refine loop's escalated solves
-        # settle at a DETERMINISTIC hair's-breadth-colliding equilibrium
-        # on the thin-margin maps (measured sdRoundedCross: cert pinned
-        # at -0.002 over 15 jittered replans; the same code on f32 CPU
-        # certifies at +0.35). Tracing the dispatch under "highest"
-        # flips 80% of those replans positive (median +0.215) AND
-        # nearly halves p50 (283->166 ms — certified lanes early-exit
-        # the remaining refine rounds). Batch-1 replans are
-        # dispatch-bound, so the extra MXU passes are free.
+        # can settle at a DETERMINISTIC hair's-breadth-colliding
+        # equilibrium on the thin-margin maps (round-4 sdRoundedCross:
+        # cert pinned at -0.002 over 15 jittered replans; the same
+        # code on f32 CPU certifies at +0.35). "highest" keeps every
+        # MXU pass in true f32; batch-1 replans are dispatch-bound, so
+        # the extra passes are cheap. Per-map outcomes under the
+        # shipped configuration live in online_replans.json — claims
+        # about what this knob buys belong there, not here (a round-4
+        # comment asserting a specific cert/latency win for this flag
+        # was contradicted by the committed artifact; ADVICE r4).
         self.matmul_precision = matmul_precision
 
     def _cell(self, p) -> np.ndarray:

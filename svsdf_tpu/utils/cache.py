@@ -80,11 +80,27 @@ def enable_persistent_compilation_cache() -> None:
     with _LOCK:
         if _COMPILATION_CACHE_ON or os.environ.get("SVSDF_NO_JIT_CACHE"):
             return
+        # CPU-only runs: stay OFF. On the round-5 host the XLA:CPU
+        # AOT serializer segfaults in put_executable_and_time even
+        # writing to a fresh cache dir (target-feature validation);
+        # TPU executables serialize fine, and the axon session's
+        # platform set is "axon,cpu", not "cpu".
+        if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+            return
         import jax
 
+        # Key the dir by the PLATFORM SET as well as the machine: two
+        # PJRT clients on the SAME host (the axon TPU session's
+        # bundled CPU client vs the plain CPU backend) serialize CPU
+        # AOT results with different baked-in target features, and
+        # loading a foreign client's entry SIGSEGVs (observed killing
+        # a full test run mid-suite, round 5).
+        plat = (os.environ.get("JAX_PLATFORMS") or "default").replace(
+            ",", "_")
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(cache_dir(),
-                                       "xla-" + _machine_fingerprint()))
+                                       "xla-" + plat + "-"
+                                       + _machine_fingerprint()))
         # cache everything: the pipeline's many medium-sized executables
         # (2-10 s compiles each) add up to the minutes the judge measured
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

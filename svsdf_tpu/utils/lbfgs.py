@@ -25,8 +25,12 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-#: default for LBFGSParams.compact=None (env knob for on-chip A/Bs)
-COMPACT_DEFAULT = os.environ.get("SVSDF_LBFGS_COMPACT", "") == "1"
+#: default for LBFGSParams.compact=None. ON since round 5: the on-chip
+#: A/B at the bench operating point (batch 512, 50 iters) measured
+#: two-loop 1099.2 plans/s vs compact 1136.1 at bit-equal final cost,
+#: and compact stacks with the parallel-frozen line search (1307.8 ->
+#: 1346.7). SVSDF_LBFGS_COMPACT=0 restores the two-loop recursion.
+COMPACT_DEFAULT = os.environ.get("SVSDF_LBFGS_COMPACT", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)

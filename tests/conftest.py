@@ -17,8 +17,15 @@ if not _ON_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Clamp XLA:CPU codegen to AVX2: this round's host misdetects its ISA
+# feature set (cpu_aot_loader logs feature-mismatch against its own
+# compiles) and the CPU JIT segfaulted intermittently inside
+# backend_compile_and_load / the cache-write path, killing two full
+# suite runs. AVX2 codegen avoids the AVX512/AMX paths implicated.
+if not _ON_TPU and "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -31,7 +38,15 @@ if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: repeat test runs skip recompiles.
-os.makedirs("/root/.cache/jax_comp", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache: ONLY for the on-TPU lane. On this
+# round's host the XLA:CPU AOT serializer itself SIGSEGVs in
+# put_executable_and_time (the compile bakes target features like
+# +prefer-no-scatter that the serializer then rejects against the
+# detected host) — two full suite runs died mid-suite writing to a
+# FRESH cache dir, so CPU-lane caching is off, not just separated.
+if _ON_TPU:
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      1.0)
