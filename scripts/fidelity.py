@@ -86,8 +86,10 @@ def run_one(name: str) -> dict:
                          gsip_refine_rounds=1, gsip_topk=0,
                          scan_dtype=None)
     import dataclasses as _dc
+    # the refine solves pin gsip_topk>=8 regardless of the throughput
+    # polish trim (parallel/batch.py _certify_refine)
     tp_refine = _dc.replace(tp_pen, coarse_n=192,
-                            scan_dtype=None)
+                            scan_dtype=None, gsip_topk=8)
     for label, with_inside, tp in (("cert", False, tp_cert),
                                    ("penalty", True, tp_pen),
                                    ("refine", True, tp_refine)):

@@ -124,12 +124,15 @@ def test_recorded_online_replans_are_interactive_and_certified():
     compile-once replanner answers in interactive time with a working
     front end on every reference map, AND — the reference's actual
     per-click product (plan_manager.cpp:128-231) — its median replan
-    carries a positive swept-volume certificate on at least 9 of the
-    13 maps (the in-dispatch certify-refine loop; parallel/batch.py
-    _certify_refine; round-4 record: 9 certified at +0.09..+0.91).
-    Maps that stay uncertified must at least be CLOSE (> -0.3 m;
-    recorded misses -0.002..-0.244), never the wall-sweeping -1.5 m
-    equilibria of round 3."""
+    carries a positive swept-volume certificate on at least 11 of the
+    13 maps (round-5 record: 11 certified at +0.11..+0.95, most at
+    ~95-147 ms p50). The two misses must be within 6 cm (recorded:
+    sdHorseshoe -0.059, sdRoundedX -0.020 — pinned equilibria every
+    knob sweep of round 5 failed to flip; scripts/online_replans.py
+    _OVERRIDES documents the sweeps). Per-map p50 may reach 350 ms on
+    the maps that pay real certify-refine rounds — the round-4 gate's
+    300 ms cap was met only because those maps gave up early and
+    shipped colliding plans."""
     path = os.path.join(_ROOT, "online_replans.json")
     with open(path) as f:
         rows = json.load(f)
@@ -138,13 +141,13 @@ def test_recorded_online_replans_are_interactive_and_certified():
     for r in rows:
         assert r.get("front_ok"), r["name"]
         assert r.get("success_rate") == 1.0, r["name"]
-        assert r.get("replan_p50_ms", 1e9) < 300.0, (
+        assert r.get("replan_p50_ms", 1e9) < 350.0, (
             r["name"], r.get("replan_p50_ms"))
         cm = r.get("cert_min_median", -1e9)
         if cm > 0:
             certified += 1
         else:
-            assert cm > -0.3, (r["name"], cm)
-    assert certified >= 9, certified
+            assert cm > -0.1, (r["name"], cm)
+    assert certified >= 11, certified
     p50s = sorted(r["replan_p50_ms"] for r in rows)
-    assert p50s[len(p50s) // 2] < 160.0, p50s
+    assert p50s[len(p50s) // 2] < 130.0, p50s
