@@ -353,9 +353,13 @@ def _real_replan(reps=10):
     from svsdf_tpu.utils import fixtures
 
     sc = fixtures.load_any("sdHeart")
+    # knobs mirror scripts/online_replans.py _OVERRIDES["sdHeart"] —
+    # the drift check below compares against the row recorded at
+    # exactly this operating point
     rp = OnlineReplanner(sc.config, sc.map_points, n_pieces=12,
                          n_obs=160, stages=pbatch.default_stages(80),
-                         refine_rounds=6, refine_iters=12)
+                         refine_rounds=14, refine_iters=12,
+                         tightness_weight=8.0)
     rp.replan(sc.start[:2], sc.goal[:2])        # compile + first run
     rng = np.random.default_rng(0)
     jit_r = 0.25 * sc.config.occupancy_resolution
