@@ -202,8 +202,16 @@ def main():
     out.append(summary)
     print(json.dumps(summary), flush=True)
     path = os.environ.get("SVSDF_FIDELITY_RESULTS", "FIDELITY.json")
+    # preserve rows this sweep doesn't produce (the _refine_ab
+    # consequence A/B is written by --refine-ab)
+    try:
+        with open(path) as f:
+            keep = [r for r in json.load(f)
+                    if r.get("name") == "_refine_ab"]
+    except (OSError, ValueError):
+        keep = []
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(out + keep, f, indent=1)
     print(f"wrote {path}")
 
 

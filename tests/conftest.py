@@ -38,15 +38,28 @@ if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: ONLY for the on-TPU lane. On this
-# round's host the XLA:CPU AOT serializer itself SIGSEGVs in
-# put_executable_and_time (the compile bakes target features like
-# +prefer-no-scatter that the serializer then rejects against the
-# detected host) — two full suite runs died mid-suite writing to a
-# FRESH cache dir, so CPU-lane caching is off, not just separated.
-if _ON_TPU:
-    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                      1.0)
+# Long compile-heavy JAX processes exhaust the default
+# vm.max_map_count (65530): LLVM JIT mmaps code/data sections per
+# executable, allocation starts failing with "LLVM compilation
+# error: Cannot allocate memory", and the process segfaults in the
+# compile or cache-write path (three full suite runs died mid-suite
+# this round before the cause was found). Raise the limit when we
+# can; harmless if already raised.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("262144")
+except (OSError, PermissionError, ValueError):
+    pass
+
+# Persistent compilation cache: repeat test runs skip recompiles
+# (the no-cache suite measured ~4x slower). The CPU lane gets its
+# OWN directory — the axon TPU session's bundled CPU client bakes
+# different target features into its CPU AOT entries, and loading a
+# foreign client's entry is the documented SIGSEGV in utils/cache.py.
+_CACHE = ("/root/.cache/jax_comp" if _ON_TPU
+          else "/root/.cache/jax_comp_cpu")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
