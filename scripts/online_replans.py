@@ -48,8 +48,12 @@ _OVERRIDES = {
     "sdHeart": dict(refine_rounds=14, tightness_weight=8.0),
     # tightness 8 moved the median -0.199 -> -0.059; tightness 12 /
     # deeper refine solves / denser harvest all leave it at -0.059
-    # (the binding isn't the route), so keep the cheapest knob set
-    "sdHorseshoe": dict(refine_rounds=14, tightness_weight=8.0),
+    # (the binding isn't the route). The pipeline certifies this map
+    # only after its fine-yaw escalation — double the yaw bins in the
+    # online precompute too (config override; the per-shape YAML is
+    # the reference-parity knob surface).
+    "sdHorseshoe": dict(refine_rounds=14, tightness_weight=8.0,
+                        config=dict(kernel_yaw_num=24)),
     # maps whose first-pass certificate lands positive but BELOW the
     # default 0.25*safety_hor margin churn through every refine round
     # without needing to: a lower early-exit margin records the same
@@ -96,7 +100,12 @@ def run_one(name: str, reps: int = 15) -> dict:
               refine_iters=12)
     kw.update(_OVERRIDES.get(name, {}))
     rec["knobs"] = dict(kw)
-    rp = OnlineReplanner(sc.config, sc.map_points,
+    cfg = sc.config
+    cfg_over = kw.pop("config", None)
+    if cfg_over:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, **cfg_over)
+    rp = OnlineReplanner(cfg, sc.map_points,
                          stages=pbatch.default_stages(80), **kw)
     res = rp.replan(sc.start[:2], sc.goal[:2])    # compile + first run
     rec["build_s"] = round(time.time() - t0, 1)
